@@ -1,0 +1,2 @@
+from .bruteforce import BruteForceIndex  # noqa: F401
+from .hnsw import HNSWIndex, HNSWConfig  # noqa: F401

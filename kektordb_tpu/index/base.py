@@ -1,0 +1,77 @@
+"""VectorIndex protocol + the host-side ID map shared by all index kinds.
+
+Reference: pkg/core/vector_index.go:26-46 defines the VectorIndex interface
+(Add/AddBatch/Search/SearchWithScores/Delete/Dimensions/Len/...). The rebuild
+keeps the same surface but batch-first: `search` takes [B, D] and returns
+[B, k] — single queries are a B=1 special case.
+
+String external IDs ↔ int32 device rows live host-side exactly as the
+reference keeps its ext↔int maps outside the hot loop (hnsw_index.go:74-75).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, Sequence
+
+import numpy as np
+
+
+class IDMap:
+    """ext string id ↔ int row, with a LIFO free list (arena slot reuse,
+    pkg/storage/mmap/arena.go:121-170)."""
+
+    def __init__(self) -> None:
+        self.ext_to_row: dict[str, int] = {}
+        self.row_to_ext: list[str | None] = []
+        self.free: list[int] = []
+
+    def __len__(self) -> int:
+        return len(self.ext_to_row)
+
+    def __contains__(self, ext: str) -> bool:
+        return ext in self.ext_to_row
+
+    def get(self, ext: str) -> int | None:
+        return self.ext_to_row.get(ext)
+
+    def alloc(self, ext: str) -> int:
+        if ext in self.ext_to_row:
+            raise KeyError(f"id already present: {ext}")
+        row = self.free.pop() if self.free else len(self.row_to_ext)
+        if row == len(self.row_to_ext):
+            self.row_to_ext.append(ext)
+        else:
+            self.row_to_ext[row] = ext
+        self.ext_to_row[ext] = row
+        return row
+
+    def release(self, ext: str) -> int:
+        row = self.ext_to_row.pop(ext)
+        self.row_to_ext[row] = None
+        self.free.append(row)
+        return row
+
+    def rows_of(self, exts: Sequence[str]) -> np.ndarray:
+        return np.array([self.ext_to_row.get(e, -1) for e in exts], dtype=np.int32)
+
+    def exts_of(self, rows: Sequence[int]) -> list[str | None]:
+        out = []
+        for r in rows:
+            out.append(self.row_to_ext[r] if 0 <= r < len(self.row_to_ext) else None)
+        return out
+
+    @property
+    def capacity_used(self) -> int:
+        return len(self.row_to_ext)
+
+
+class VectorIndex(Protocol):
+    dim: int
+    metric: str
+    precision: str
+
+    def __len__(self) -> int: ...
+    def add(self, ext_id: str, vector: np.ndarray) -> None: ...
+    def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray) -> None: ...
+    def delete(self, ext_id: str) -> bool: ...
+    def search(self, queries: np.ndarray, k: int, **kw) -> tuple[np.ndarray, np.ndarray]: ...

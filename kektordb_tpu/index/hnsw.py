@@ -1,0 +1,408 @@
+"""Host-side HNSW index: orchestrates the jitted kernels in hnsw_kernels.py.
+
+Mirrors the public surface of the reference hnsw.Index (pkg/core/hnsw/
+hnsw_index.go:123,456,1457,327,2292): New / Add / AddBatch / AddBatchFast /
+SearchWithScores / Delete / snapshot hooks / optimizer hooks — but batch-first
+and functionally pure on device. The host side owns only: string↔row ID maps
+(hnsw_index.go:74-75), level sampling RNG, free lists, capacity tiers, and the
+maintenance cursor.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as dist
+from ..ops import quantize as quant
+from . import hnsw_kernels as K
+from .base import IDMap
+
+
+@dataclass
+class HNSWConfig:
+    """Build/search parameters (reference config, hnsw_index.go:42-120)."""
+    m: int = 16
+    ef_construction: int = 200
+    ef_search: int = 100
+    ml: float = 0.0                  # 0 → 1/ln(m) (hnsw_index.go:2605-2614)
+    seed: int = 42
+    chunk: int = 512                 # batched build chunk (AddBatch shape)
+    flush_chunk: int = 64            # streaming insert micro-batch
+    lmax: int = 8
+    refine_ef: int = 0               # 0 → ef_construction
+    refine_batch: int = 512          # optimizer.go default 500
+    intra_k: int = 16                # intra-chunk brute-force candidates
+    vacuum_deleted_ratio: float = 0.10   # optimizer.go:49-126 default
+    fast_ef: int = 40                # AddBatchFast floor (hnsw_index.go:1461-1467)
+
+    def resolved_ml(self) -> float:
+        return self.ml if self.ml > 0 else 1.0 / math.log(max(self.m, 2))
+
+
+class HNSWIndex:
+    MIN_CAP = 4096
+
+    def __init__(self, dim: int, metric: str = dist.L2,
+                 precision: str = dist.F32,
+                 config: Optional[HNSWConfig] = None):
+        if metric not in dist.METRICS:
+            raise ValueError(f"unknown metric {metric!r}")
+        if precision not in dist.PRECISIONS:
+            raise ValueError(f"unknown precision {precision!r}")
+        # precision constraint matrix (hnsw_index.go:187-213): half precision
+        # is euclidean-only, int8 is cosine-only
+        if precision == dist.BF16 and metric != dist.L2:
+            raise ValueError("bfloat16 precision supports only euclidean")
+        if precision == dist.INT8 and metric != dist.COSINE:
+            raise ValueError("int8 precision supports only cosine")
+        self.dim = dim
+        self.metric = metric
+        self.precision = precision
+        self.config = config or HNSWConfig()
+        self.ids = IDMap()
+        self.quantizer = quant.empty_state()
+        self.rng = np.random.default_rng(self.config.seed)
+
+        self._cap = self.MIN_CAP
+        self._ucap = max(self.MIN_CAP // 4, 256)
+        self.state = K.init_state(
+            self._cap, dim, dist.storage_dtype(precision),
+            m0=2 * self.config.m, lmax=self.config.lmax,
+            mu=self.config.m, ucap=self._ucap)
+
+        # host mirrors
+        self._max_level = 0
+        self._deleted_rows: set[int] = set()
+        self._up_free: list[int] = []
+        self._up_next = 0
+        self._refine_cursor = 0
+        self.needs_refine = False
+        self._pending: list[tuple[str, np.ndarray]] = []
+
+    # -- basic accessors -------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.ids) + len(self._pending)
+
+    @property
+    def deleted_count(self) -> int:
+        return len(self._deleted_rows)
+
+    # -- encoding ----------------------------------------------------------
+
+    def _ensure_quantizer(self, v32: jnp.ndarray) -> None:
+        if self.precision == dist.INT8 and not bool(self.quantizer.trained):
+            self.quantizer = quant.train(v32)
+
+    def _encode(self, vectors: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        v = jnp.asarray(vectors, jnp.float32)
+        if self.metric == dist.COSINE:
+            v = dist.normalize(v)
+        if self.precision == dist.INT8:
+            self._ensure_quantizer(v)
+            return quant.quantize(self.quantizer, v)
+        enc = v.astype(dist.storage_dtype(self.precision))
+        return enc, jnp.zeros((v.shape[0],), jnp.float32)
+
+    # -- capacity ----------------------------------------------------------
+
+    def _grow_for(self, extra: int) -> None:
+        need = self.ids.capacity_used + extra
+        if need <= self._cap:
+            return
+        new_cap = self._cap
+        while new_cap < need:
+            new_cap *= 2
+        new_ucap = max(new_cap // 4, 256)
+        self.state = K.grow_state(self.state, new_cap, new_ucap)
+        self._cap, self._ucap = new_cap, new_ucap
+
+    # -- level sampling (hnsw_index.go:2605-2614) ----------------------------
+
+    def _sample_levels(self, n: int) -> np.ndarray:
+        ml = self.config.resolved_ml()
+        u = self.rng.random(n)
+        lv = np.floor(-np.log(np.maximum(u, 1e-12)) * ml).astype(np.int32)
+        return np.minimum(lv, min(self._max_level + 1, self.config.lmax))
+
+    # -- write path ----------------------------------------------------------
+
+    def add(self, ext_id: str, vector: np.ndarray) -> None:
+        if ext_id in self.ids or any(e == ext_id for e, _ in self._pending):
+            raise KeyError(f"id already present: {ext_id}")
+        v = np.asarray(vector, np.float32).reshape(-1)
+        if v.shape[0] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {v.shape[0]}")
+        self._pending.append((ext_id, v))
+        if len(self._pending) >= self.config.flush_chunk:
+            self.flush()
+
+    def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray,
+                  fast: bool = False) -> None:
+        """Bulk insert in device chunks (AddBatch, hnsw_index.go:1457-2077).
+        fast=True is AddBatchFast: ef floored at cfg.fast_ef, needs_refine set
+        so queries get an ef boost until refined (hnsw_index.go:371-383)."""
+        self.flush()
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.shape != (len(ext_ids), self.dim):
+            raise ValueError(
+                f"expected shape ({len(ext_ids)}, {self.dim}), got {vectors.shape}")
+        seen = set()
+        for e in ext_ids:
+            if e in self.ids or e in seen:
+                raise KeyError(f"id already present: {e}")
+            seen.add(e)
+        C = self.config.chunk
+        ef = max(self.config.fast_ef, 2 * self.config.m) if fast \
+            else self.config.ef_construction
+        for i in range(0, len(ext_ids), C):
+            self._commit(ext_ids[i:i + C], vectors[i:i + C], C, ef)
+        if fast:
+            self.needs_refine = True
+
+    def flush(self) -> None:
+        while self._pending:
+            take = self._pending[: self.config.flush_chunk]
+            self._pending = self._pending[self.config.flush_chunk:]
+            self._commit([e for e, _ in take],
+                         np.stack([v for _, v in take]),
+                         self.config.flush_chunk,
+                         self.config.ef_construction)
+
+    def _commit(self, ext_ids: Sequence[str], vectors: np.ndarray,
+                pad_to: int, ef: int) -> None:
+        """One padded device chunk through the full insert pipeline."""
+        n = len(ext_ids)
+        self._grow_for(n)
+        rows = np.full((pad_to,), -1, np.int32)
+        rows[:n] = [self.ids.alloc(e) for e in ext_ids]
+        levels = np.full((pad_to,), -1, np.int32)
+        levels[:n] = self._sample_levels(n)
+
+        # encode the real vectors first (quantizer must not train on padding),
+        # then pad the encoded block to the static chunk width
+        enc_n, norms_n = self._encode(vectors)
+        enc = jnp.zeros((pad_to, self.dim), enc_n.dtype).at[:n].set(enc_n)
+        norms = jnp.zeros((pad_to,), jnp.float32).at[:n].set(norms_n)
+        rows_j = jnp.asarray(rows)
+        st = K.write_vectors(self.state, rows_j, enc, norms)
+
+        # candidate search against the committed graph
+        m = self.config.m
+        if int(self.state.size) > 0:
+            bd, bi = K.beam_search(st, enc, norms, metric=self.metric,
+                                   ef=ef, for_insert=True)
+        else:
+            bd = jnp.full((pad_to, ef), jnp.inf, jnp.float32)
+            bi = jnp.full((pad_to, ef), -1, jnp.int32)
+
+        # intra-chunk brute-force candidates (the reference's partial
+        # intra-batch visibility, hnsw_index.go:1755-1844)
+        ik = min(self.config.intra_k, pad_to - 1)
+        if ik > 0:
+            P = dist.pairwise(enc, enc, self.metric,
+                              corpus_norms=norms, query_norms=norms)
+            eye = jnp.arange(pad_to)
+            P = jnp.where((eye[:, None] == eye[None, :])
+                          | (rows_j[None, :] < 0) | (rows_j[:, None] < 0),
+                          jnp.inf, P)
+            nd, npos = jnp.sort(P, axis=1)[:, :ik], jnp.argsort(P, axis=1)[:, :ik]
+            ni = jnp.where(jnp.isinf(nd), -1, rows_j[npos])
+            all_d = jnp.concatenate([bd, nd], axis=1)
+            all_i = jnp.concatenate([bi, ni], axis=1)
+            td, tp = jnp.sort(all_d, axis=1), jnp.argsort(all_d, axis=1)
+            all_d, all_i = td, jnp.take_along_axis(all_i, tp, axis=1)
+        else:
+            all_d, all_i = bd, bi
+
+        sel_i, sel_d = K.select_neighbors(st, all_d, all_i, m, self.metric)
+        st = K.commit_chunk(st, rows_j, sel_i, sel_d,
+                            jnp.asarray(levels), metric=self.metric, m=m)
+
+        # upper-level registration for new nodes with level >= 1
+        ups = [(int(r), int(l)) for r, l in zip(rows, levels) if l >= 1 and r >= 0]
+        if ups:
+            kpad = 1
+            while kpad < len(ups):
+                kpad *= 2
+            unodes = np.full((kpad,), -1, np.int32)
+            uslots = np.full((kpad,), -1, np.int32)
+            for j, (r, _) in enumerate(ups):
+                unodes[j] = r
+                uslots[j] = self._alloc_up_slot()
+            st = K.update_upper(st, jnp.asarray(unodes), jnp.asarray(uslots),
+                                metric=self.metric)
+            self._max_level = max(self._max_level,
+                                  max(l for _, l in ups))
+        self.state = st
+
+    def _alloc_up_slot(self) -> int:
+        if self._up_free:
+            return self._up_free.pop()
+        s = self._up_next
+        self._up_next += 1
+        if s >= self._ucap:
+            raise RuntimeError("upper capacity exhausted")  # _grow_for sizes it
+        return s
+
+    # -- delete / maintenance -------------------------------------------------
+
+    def delete(self, ext_id: str) -> bool:
+        """Soft delete (hnsw_index.go:2292): row stays traversable, excluded
+        from results; physical reclamation happens in vacuum()."""
+        for j, (e, _) in enumerate(self._pending):
+            if e == ext_id:
+                self._pending.pop(j)
+                return True
+        if ext_id not in self.ids:
+            return False
+        row = self.ids.ext_to_row[ext_id]
+        del self.ids.ext_to_row[ext_id]
+        self.ids.row_to_ext[row] = None
+        self._deleted_rows.add(row)
+        self.state = K.mark_deleted(self.state, jnp.asarray([row], jnp.int32))
+        return True
+
+    def run_maintenance_cycle(self) -> str:
+        """optimizer.RunCycle (optimizer.go:49-126): vacuum when the deleted
+        ratio crosses the threshold, otherwise refine a cursor batch."""
+        total = self.ids.capacity_used
+        if total and len(self._deleted_rows) / total >= self.config.vacuum_deleted_ratio:
+            self.vacuum()
+            return "vacuum"
+        self.refine_step()
+        return "refine"
+
+    def refine_step(self, rows: Optional[np.ndarray] = None) -> None:
+        """One refine batch (optimizer.go:273-443)."""
+        ef = self.config.refine_ef or self.config.ef_construction
+        B = self.config.refine_batch
+        if rows is None:
+            live = self._live_rows()
+            if live.size == 0:
+                return
+            start = self._refine_cursor % live.size
+            idx = (start + np.arange(min(B, live.size))) % live.size
+            rows = live[idx]
+            self._refine_cursor = int((start + B) % max(live.size, 1))
+        pad = np.full((B,), -1, np.int32)
+        pad[: rows.size] = rows[:B]
+        self.state = K.refine_chunk(self.state, jnp.asarray(pad),
+                                    metric=self.metric, ef=ef,
+                                    m_out=2 * self.config.m)
+
+    def turbo_refine(self, passes: int = 1) -> None:
+        """Full-graph refine after bulk import (RunTurboRefine,
+        optimizer.go:644-684); clears the needs_refine ef boost."""
+        self.flush()
+        live = self._live_rows()
+        B = self.config.refine_batch
+        for _ in range(passes):
+            for i in range(0, live.size, B):
+                self.refine_step(live[i:i + B])
+        self.needs_refine = False
+
+    def vacuum(self) -> int:
+        """Reconnect parents of deleted rows, re-elect the entry point, purge
+        rows, recycle slots (Vacuum, optimizer.go:133-262)."""
+        self.flush()
+        if not self._deleted_rows:
+            return 0
+        affected = np.asarray(K.rows_referencing_deleted(self.state))
+        aff_rows = np.nonzero(affected)[0].astype(np.int32)
+        B = self.config.refine_batch
+        for i in range(0, aff_rows.size, B):
+            self.refine_step(aff_rows[i:i + B])
+
+        dead = np.fromiter(self._deleted_rows, np.int32)
+        up_of = np.asarray(self.state.up_of)
+        dead_slots = up_of[dead]
+        dead_slots = dead_slots[dead_slots >= 0].astype(np.int32)
+        # entry re-election before purge (optimizer.go:202-224)
+        entry = int(self.state.entry)
+        if entry in self._deleted_rows:
+            levels = np.asarray(self.state.levels)
+            live = self._live_rows()
+            if live.size:
+                new_entry = int(live[np.argmax(levels[live])])
+                self._max_level = int(levels[new_entry])
+                self.state = self.state._replace(
+                    entry=jnp.int32(new_entry),
+                    max_level=jnp.int32(self._max_level))
+            else:
+                self.state = self.state._replace(entry=jnp.int32(-1),
+                                                 max_level=jnp.int32(0))
+                self._max_level = 0
+        pad = 1
+        while pad < dead.size:
+            pad *= 2
+        dpad = np.full((pad,), -1, np.int32)
+        dpad[: dead.size] = dead
+        spad = np.full((pad,), -1, np.int32)
+        spad[: dead_slots.size] = dead_slots
+        self.state = K.purge_rows(self.state, jnp.asarray(dpad),
+                                  jnp.asarray(spad))
+        n = len(self._deleted_rows)
+        for r in self._deleted_rows:
+            self.ids.free.append(int(r))
+            self.ids.row_to_ext[r] = None
+        self._up_free.extend(int(s) for s in dead_slots)
+        self._deleted_rows.clear()
+        return n
+
+    def _live_rows(self) -> np.ndarray:
+        levels = np.asarray(self.state.levels[: self.ids.capacity_used])
+        live = np.nonzero(levels >= 0)[0].astype(np.int32)
+        if self._deleted_rows:
+            live = live[~np.isin(live, np.fromiter(self._deleted_rows, np.int32))]
+        return live
+
+    # -- query path ------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int, *,
+               ef: Optional[int] = None,
+               allow_rows: Optional[np.ndarray] = None,
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched ANN: [B, D] → (dists [B, k], rows [B, k]; -1 pads)."""
+        self.flush()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        B = queries.shape[0]
+        if len(self.ids) == 0 or int(self.state.entry) < 0:
+            return (np.full((B, k), np.inf, np.float32),
+                    np.full((B, k), -1, np.int32))
+        ef = ef or self.config.ef_search
+        if self.needs_refine:
+            # un-refined fast-built graphs get an ef boost (hnsw_index.go:371-383)
+            ef = min(max(ef, 80), 200)
+        ef = max(ef, k)
+        q, qn = self._encode(queries)
+        allow = None
+        if allow_rows is not None:
+            allow = jnp.zeros((self._cap,), bool)
+            a = np.asarray(allow_rows)
+            if a.dtype == bool:
+                allow = jnp.asarray(
+                    np.pad(a[: self._cap], (0, max(0, self._cap - a.size))))
+            else:
+                allow = allow.at[jnp.asarray(a.astype(np.int32))].set(
+                    True, mode="drop")
+        d, i = K.beam_search(self.state, q, qn, metric=self.metric,
+                             ef=ef, allow=allow)
+        return np.asarray(d[:, :k]), np.asarray(i[:, :k])
+
+    def search_ids(self, queries: np.ndarray, k: int, **kw):
+        """(ext_id, dist) per query (SearchWithScores, hnsw_index.go:327)."""
+        d, rows = self.search(queries, k, **kw)
+        out = []
+        for b in range(rows.shape[0]):
+            hits = []
+            for j, r in enumerate(rows[b]):
+                if r >= 0 and self.ids.row_to_ext[r] is not None:
+                    hits.append((self.ids.row_to_ext[r], float(d[b, j])))
+            out.append(hits)
+        return out

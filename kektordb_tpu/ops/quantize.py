@@ -1,0 +1,75 @@
+"""Symmetric int8 scalar quantizer.
+
+Reference: pkg/core/distance/quantizer.go — Train (stride-sampled 99.9th
+percentile of |values| as AbsMax, :49-134), Quantize (scale+clip+round, :138-164),
+Dequantize (:169-186). Auto-trained on the first batch
+(hnsw_index.go:1509-1518).
+
+TPU-first changes: training and quantization are whole-array jitted ops
+(sort-based percentile over a device sample) instead of a Go loop; int-domain
+L2 norms are returned alongside the codes because the int8 distance path needs
+them (hnsw_index.go:2396-2443, quantizedNorms at hnsw_index.go:81).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Reference constants (quantizer.go:49-134)
+_SAMPLE_FRACTION = 0.10
+_SAMPLE_MAX = 25_000
+_SAMPLE_MIN = 10_000
+_PERCENTILE = 0.999
+
+
+class QuantizerState(NamedTuple):
+    abs_max: jax.Array   # scalar f32
+    trained: jax.Array   # scalar bool
+
+    @property
+    def scale(self) -> jax.Array:
+        return 127.0 / jnp.maximum(self.abs_max, 1e-12)
+
+
+def empty_state() -> QuantizerState:
+    return QuantizerState(abs_max=jnp.float32(0.0), trained=jnp.array(False))
+
+
+@jax.jit
+def train(vectors: jax.Array) -> QuantizerState:
+    """Outlier-robust AbsMax: 99.9th percentile of |sampled values|.
+
+    Mirrors quantizer.go:49-134 — stride sampling (10%, capped 25k vectors,
+    floored at 10k) then percentile of sorted absolute values.
+    """
+    n = vectors.shape[0]
+    want = int(min(max(n * _SAMPLE_FRACTION, _SAMPLE_MIN), _SAMPLE_MAX))
+    want = min(want, n)
+    stride = max(n // want, 1)
+    sample = vectors[::stride].astype(jnp.float32)
+    flat = jnp.sort(jnp.abs(sample.ravel()))
+    idx = jnp.int32(round(_PERCENTILE * (flat.shape[0] - 1)))
+    abs_max = jnp.maximum(flat[idx], 1e-12)
+    return QuantizerState(abs_max=abs_max, trained=jnp.array(True))
+
+
+@jax.jit
+def quantize(state: QuantizerState, vectors: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[.., D] f32 → (int8 codes, int-domain L2 norms [..] f32).
+
+    Reference Quantize (quantizer.go:138-164): scale, clip to [-127, 127],
+    round-half-away (jnp.rint is round-half-even; difference is sub-quantum).
+    """
+    scaled = vectors.astype(jnp.float32) * state.scale
+    codes = jnp.clip(jnp.rint(scaled), -127.0, 127.0).astype(jnp.int8)
+    norms = jnp.linalg.norm(codes.astype(jnp.float32), axis=-1)
+    return codes, norms
+
+
+@jax.jit
+def dequantize(state: QuantizerState, codes: jax.Array) -> jax.Array:
+    """int8 codes → f32 (quantizer.go:169-186)."""
+    return codes.astype(jnp.float32) * (state.abs_max / 127.0)
