@@ -1,0 +1,1072 @@
+"""Engine — orchestration over indexes, KV, knowledge graph and persistence.
+
+Reference: pkg/engine (engine.go, ops.go, graph.go, recovery.go). The shape
+is preserved — journal-before-RAM writes (ops.go:360-364 "Persistence first"),
+hybrid fusion search (searchWithFusion, ops.go:896-1208), checkpoint + AOF
+replay recovery (engine.go:162-222), background maintenance
+(engine.go:277-320) — but the storage engine underneath is the TPU-resident
+dense-array index, so "snapshot" means checkpointing device arrays
+(SURVEY §5) and the 128-way lock hierarchy disappears behind a single-writer
+engine lock.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from ..index.bruteforce import BruteForceIndex
+from ..index.hnsw import HNSWConfig, HNSWIndex
+from ..ops import distance as dist
+from ..persist import aof as aoflib
+from ..persist import checkpoint as ckptlib
+from ..persist.resp import format_command, parse_command
+from . import filters as filtlib
+from . import fusion
+from .events import Event, EventBus
+from .graph import KnowledgeGraph
+from .kv import KVStore
+from .metadata import MetadataStore
+
+log = logging.getLogger("kektordb")
+
+GRAPH_DEPTH_CLAMP = 5  # resolveGraphFilter depth clamp (engine/graph.go:173)
+
+
+@dataclass
+class AutoLinkRule:
+    """Auto-link on shared metadata value (hnsw/config.go:134,
+    processAutoLinks ops.go:1699)."""
+    field: str
+    relation: str
+    bidirectional: bool = False
+    max_links: int = 32
+
+
+@dataclass
+class EngineConfig:
+    data_dir: Optional[str] = None          # None → in-memory only
+    snapshot_interval: float = 60.0         # engine.go:324 checkMaintenance
+    snapshot_dirty_threshold: int = 1000
+    maintenance_interval: float = 10.0      # default maintenance tick
+    graph_vacuum_interval: float = 3600.0   # hourly graph vacuum
+    aof_rewrite_growth: float = 1.0         # rewrite at 100% growth
+    aof_rewrite_min_bytes: int = 1 << 20    # min 1MB (engine.go:344-362)
+    start_background: bool = True
+
+
+class IndexHandle:
+    """One named vector index + its metadata store + config."""
+
+    def __init__(self, name: str, index, language: str = "english",
+                 memory: Optional[fusion.MemoryConfig] = None):
+        self.name = name
+        self.index = index
+        self.meta = MetadataStore(language)
+        self.memory = memory or fusion.MemoryConfig()
+        self.auto_links: list[AutoLinkRule] = []
+        self.language = language
+
+
+class Engine:
+    """Open/Close lifecycle mirrors engine.Open (engine.go:162-239):
+    load checkpoint → open lazy AOF → replay AOF → start background loop."""
+
+    def __init__(self, config: Optional[EngineConfig] = None):
+        self.config = config or EngineConfig()
+        self.indexes: dict[str, IndexHandle] = {}
+        self.kv = KVStore()
+        self.graph = KnowledgeGraph()
+        self.events = EventBus()
+        self._lock = threading.RLock()
+        self._aof: Optional[aoflib.LazyAOFWriter] = None
+        self._dirty = 0
+        self._last_snapshot = time.time()
+        self._aof_base_size = 0
+        self._stop = threading.Event()
+        self._bg: Optional[threading.Thread] = None
+        self._opened = False
+
+    # ------------------------------------------------------------------ open
+
+    def open(self) -> "Engine":
+        with self._lock:
+            if self._opened:
+                return self
+            if self.config.data_dir:
+                import os
+                os.makedirs(self.config.data_dir, exist_ok=True)
+                self._load_checkpoint()
+                self._aof = aoflib.LazyAOFWriter(self._aof_path())
+                self._replay_aof()
+                self._aof_base_size = self._aof.size()
+            if self.config.start_background:
+                self._bg = threading.Thread(target=self._background,
+                                            daemon=True)
+                self._bg.start()
+            self._opened = True
+        return self
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._bg:
+            self._bg.join(timeout=5.0)
+        with self._lock:
+            if self.config.data_dir:
+                self.save_snapshot()
+            if self._aof:
+                self._aof.close()
+                self._aof = None
+            self._opened = False
+
+    def _aof_path(self) -> str:
+        import os
+        return os.path.join(self.config.data_dir, "journal.aof")
+
+    def _ckpt_root(self) -> str:
+        import os
+        return os.path.join(self.config.data_dir, "checkpoints")
+
+    # -------------------------------------------------------------- journal
+
+    def _journal(self, *parts: bytes | str) -> None:
+        """AOF-before-RAM (ops.go:349-364): every mutation is framed and
+        enqueued to the lazy writer before the in-memory apply."""
+        if self._aof is not None:
+            self._aof.write(format_command(*parts))
+        self._dirty += 1
+
+    # -------------------------------------------------------- index mgmt
+
+    def create_index(self, name: str, *, metric: str = dist.L2,
+                     precision: str = dist.F32, m: int = 16,
+                     ef_construction: int = 200, ef_search: int = 100,
+                     language: str = "english", kind: str = "hnsw",
+                     seed: int = 42, _journal: bool = True) -> None:
+        """VCREATE (ops.go VCreate). Duplicate names are an error
+        (api_contracts.json: duplicate index MUST 409)."""
+        with self._lock:
+            if name in self.indexes:
+                raise KeyError(f"index already exists: {name}")
+            if kind not in ("hnsw", "flat"):
+                raise ValueError(f"unknown index kind: {kind}")
+            cfg = HNSWConfig(m=m, ef_construction=ef_construction,
+                             ef_search=ef_search, seed=seed)
+            # dimension is fixed lazily on first add, like the reference's
+            # dim-on-first-insert; store a factory thunk
+            handle = IndexHandle(name, _LazyIndex(metric, precision, cfg),
+                                 language=language)
+            self.indexes[name] = handle
+            if _journal:
+                self._journal("VCREATE", name, metric, precision,
+                              json.dumps({"m": m,
+                                          "ef_construction": ef_construction,
+                                          "ef_search": ef_search,
+                                          "language": language,
+                                          "seed": seed}))
+
+    def drop_index(self, name: str, _journal: bool = True) -> None:
+        with self._lock:
+            if name not in self.indexes:
+                raise KeyError(f"no such index: {name}")
+            del self.indexes[name]
+            if _journal:
+                self._journal("VDROP", name)
+
+    def list_indexes(self) -> list[str]:
+        return sorted(self.indexes)
+
+    def index_info(self, name: str) -> dict[str, Any]:
+        h = self._handle(name)
+        idx = h.index
+        return {
+            "name": name, "size": len(idx), "metric": idx.metric,
+            "precision": idx.precision, "dimensions": idx.dim,
+            "deleted": getattr(idx, "deleted_count", 0),
+            "needs_refine": getattr(idx, "needs_refine", False),
+            "config": asdict(idx.config) if hasattr(idx, "config") else {},
+            "memory": asdict(h.memory),
+        }
+
+    def configure_index(self, name: str, config: dict[str, Any],
+                        _journal: bool = True) -> None:
+        """VCONFIG — runtime config update (AOF VCONFIG): memory/decay
+        settings and auto-link rules."""
+        h = self._handle(name)
+        with self._lock:
+            mem = config.get("memory")
+            if mem:
+                layers = {k: fusion.LayerConfig(**v)
+                          for k, v in (mem.get("layers") or {}).items()}
+                h.memory = fusion.MemoryConfig(
+                    enabled=bool(mem.get("enabled", True)),
+                    decay_half_life=float(
+                        mem.get("decay_half_life",
+                                h.memory.decay_half_life)),
+                    decay_model=mem.get("decay_model", h.memory.decay_model),
+                    layers=layers)
+            if "auto_links" in config:
+                h.auto_links = [AutoLinkRule(**r)
+                                for r in config["auto_links"]]
+            if "ef_search" in config and hasattr(h.index, "config"):
+                h.index.config.ef_search = int(config["ef_search"])
+            if _journal:
+                self._journal("VCONFIG", name, json.dumps(config))
+
+    def _handle(self, name: str) -> IndexHandle:
+        h = self.indexes.get(name)
+        if h is None:
+            raise KeyError(f"no such index: {name}")
+        return h
+
+    # ----------------------------------------------------------- write path
+
+    def add(self, index: str, ext_id: str, vector: Sequence[float],
+            metadata: Optional[dict[str, Any]] = None,
+            _journal: bool = True) -> None:
+        """VADD (ops.go:268): journal → index insert → metadata → auto-links
+        → event."""
+        h = self._handle(index)
+        vec = np.asarray(vector, np.float32).reshape(-1)
+        meta = dict(metadata or {})
+        with self._lock:
+            self._ensure_materialized(h, vec.shape[-1])
+            self._stamp_memory(h, meta)
+            if _journal:
+                self._journal("VADD", index, ext_id, vec.tobytes(),
+                              json.dumps(meta) if meta else "")
+            h.index.add(ext_id, vec)
+            if meta:
+                row = self._row_of(h, ext_id)
+                if row is not None:
+                    h.meta.set(row, meta)
+            self._process_auto_links(h, ext_id, meta)
+        self.events.emit(Event("vector.add", index, ext_id))
+
+    def add_batch(self, index: str, ext_ids: Sequence[str],
+                  vectors: np.ndarray,
+                  metadatas: Optional[Sequence[Optional[dict]]] = None,
+                  fast: bool = False, _journal: bool = True) -> None:
+        """VAddBatch (ops.go:1384): batched journal frames first, then bulk
+        device build, then per-item metadata."""
+        h = self._handle(index)
+        vectors = np.asarray(vectors, np.float32)
+        metas = [dict(m or {}) for m in
+                 (metadatas if metadatas else [None] * len(ext_ids))]
+        with self._lock:
+            if len(ext_ids):
+                self._ensure_materialized(h, vectors.shape[-1])
+            for j, (e, m) in enumerate(zip(ext_ids, metas)):
+                self._stamp_memory(h, m)
+                if _journal:
+                    self._journal("VADD", index, e, vectors[j].tobytes(),
+                                  json.dumps(m) if m else "")
+            h.index.add_batch(ext_ids, vectors, fast=fast)
+            for e, m in zip(ext_ids, metas):
+                if m:
+                    row = self._row_of(h, e)
+                    if row is not None:
+                        h.meta.set(row, m)
+        for e in ext_ids:
+            self.events.emit(Event("vector.add", index, e))
+
+    def import_batch(self, index: str, ext_ids: Sequence[str],
+                     vectors: np.ndarray,
+                     metadatas: Optional[Sequence[Optional[dict]]] = None
+                     ) -> None:
+        """VImport (ops.go:1503): bypasses the journal, fast build + turbo
+        refine + forced snapshot."""
+        h = self._handle(index)
+        self.add_batch(index, ext_ids, vectors, metadatas,
+                       fast=True, _journal=False)
+        if hasattr(h.index, "turbo_refine"):
+            h.index.turbo_refine()
+        if self.config.data_dir:
+            self.save_snapshot()
+
+    def delete(self, index: str, ext_id: str, _journal: bool = True) -> bool:
+        """VDEL — soft delete + metadata removal."""
+        h = self._handle(index)
+        with self._lock:
+            row = self._row_of(h, ext_id)
+            if _journal:
+                self._journal("VDEL", index, ext_id)
+            ok = h.index.delete(ext_id)
+            if ok and row is not None:
+                h.meta.remove(row)
+                self.graph.drop_node(f"{index}/{ext_id}")
+        if ok:
+            self.events.emit(Event("vector.delete", index, ext_id))
+        return ok
+
+    def update_metadata(self, index: str, ext_id: str,
+                        patch: dict[str, Any], _journal: bool = True) -> None:
+        """VMETA — merge metadata patch (AOF VMETA, ops.go:697 reinforce
+        uses this path too)."""
+        h = self._handle(index)
+        with self._lock:
+            row = self._row_of(h, ext_id)
+            if row is None:
+                raise KeyError(f"no such id: {ext_id}")
+            if _journal:
+                self._journal("VMETA", index, ext_id, json.dumps(patch))
+            h.meta.update(row, patch)
+        self.events.emit(Event("vector.update", index, ext_id))
+
+    def get(self, index: str, ext_id: str) -> dict[str, Any]:
+        h = self._handle(index)
+        row = self._row_of(h, ext_id)
+        if row is None:
+            raise KeyError(f"no such id: {ext_id}")
+        return {"id": ext_id, "metadata": h.meta.get(row) or {}}
+
+    def reinforce(self, index: str, ext_id: str,
+                  _journal: bool = True) -> None:
+        """VReinforce (ops.go:697): bump _last_accessed/_access_count."""
+        h = self._handle(index)
+        with self._lock:
+            row = self._row_of(h, ext_id)
+            if row is None:
+                raise KeyError(f"no such id: {ext_id}")
+            meta = h.meta.get(row) or {}
+            patch = {
+                fusion.ACCESSED_KEY: time.time(),
+                fusion.ACCESS_COUNT_KEY:
+                    int(meta.get(fusion.ACCESS_COUNT_KEY) or 0) + 1,
+            }
+            if _journal:
+                self._journal("VMETA", index, ext_id, json.dumps(patch))
+            h.meta.update(row, patch)
+        self.events.emit(Event("vector.access", index, ext_id))
+
+    def _ensure_materialized(self, h: IndexHandle, dim: int) -> None:
+        """Dimension fixes on first insert (reference dim validation,
+        ops.go:334-347)."""
+        if isinstance(h.index, _LazyIndex):
+            lazy = h.index
+            h.index = HNSWIndex(dim, lazy.metric, lazy.precision, lazy.cfg)
+
+    def _stamp_memory(self, h: IndexHandle, meta: dict[str, Any]) -> None:
+        """Memory timestamping + layer defaults (ops.go:274-317)."""
+        if fusion.CREATED_KEY not in meta:
+            meta[fusion.CREATED_KEY] = time.time()
+        layer = meta.get(fusion.LAYER_KEY)
+        if layer and layer in h.memory.layers:
+            lc = h.memory.layers[layer]
+            if lc.pinned_by_default and fusion.PINNED_KEY not in meta:
+                meta[fusion.PINNED_KEY] = True
+
+    def _row_of(self, h: IndexHandle, ext_id: str) -> Optional[int]:
+        ids = getattr(h.index, "ids", None)
+        if ids is None:
+            return None
+        h.index.flush() if hasattr(h.index, "flush") else None
+        return ids.get(ext_id)
+
+    def _process_auto_links(self, h: IndexHandle, ext_id: str,
+                            meta: dict[str, Any]) -> None:
+        """processAutoLinks (ops.go:1699): link nodes sharing a field value."""
+        for rule in h.auto_links:
+            val = meta.get(rule.field)
+            if val is None:
+                continue
+            sval = val if isinstance(val, str) else str(val)
+            rows = h.meta.inverted.get(rule.field, {}).get(sval, set())
+            linked = 0
+            for row in rows:
+                other = h.index.ids.row_to_ext[row] \
+                    if row < len(h.index.ids.row_to_ext) else None
+                if other is None or other == ext_id:
+                    continue
+                self.link(h.name, ext_id, rule.relation, other,
+                          _journal=True)
+                if rule.bidirectional:
+                    self.link(h.name, other, rule.relation, ext_id,
+                              _journal=True)
+                linked += 1
+                if linked >= rule.max_links:
+                    break
+
+    # ----------------------------------------------------------- query path
+
+    def search(self, index: str, query: Sequence[float] | np.ndarray,
+               k: int = 10, *,
+               ef: Optional[int] = None,
+               filter: Optional[str] = None,
+               text_query: Optional[str] = None,
+               alpha: float = 0.5,
+               graph_root: Optional[str] = None,
+               graph_depth: int = 2,
+               graph_relation: Optional[str] = None,
+               at_time: Optional[float] = None,
+               include_metadata: bool = False,
+               decay: bool = True) -> list[list[dict[str, Any]]]:
+        """searchWithFusion (ops.go:896-1208): filter → allow rows; graph
+        BFS → intersect; vector + BM25 (fused program); min-max normalize;
+        alpha fusion; time decay; top-k.
+
+        Accepts [D] or [B, D]; always returns a list of per-query hit lists.
+        """
+        h = self._handle(index)
+        q = np.atleast_2d(np.asarray(query, np.float32))
+        B = q.shape[0]
+        idx = h.index
+        if hasattr(idx, "flush"):
+            idx.flush()
+        universe = self._live_rows(h)
+
+        allow: Optional[set[int]] = None
+        if filter:
+            allow = filtlib.evaluate(filter, h.meta, universe)
+        if graph_root:
+            nodes = self.graph.bfs(
+                [f"{index}/{graph_root}"],
+                min(graph_depth, GRAPH_DEPTH_CLAMP),
+                relation=graph_relation, at_time=at_time)
+            grows = {r for r in (
+                idx.ids.get(nid.split("/", 1)[1])
+                for nid in nodes if nid.startswith(index + "/"))
+                if r is not None}
+            allow = grows if allow is None else (allow & grows)
+
+        text_scores: dict[int, float] = {}
+        if text_query:
+            text_scores = h.meta.text.search(text_query)
+            if allow is not None:
+                text_scores = {r: s for r, s in text_scores.items()
+                               if r in allow}
+
+        vec_hits: list[dict[int, float]] = [{} for _ in range(B)]
+        text_only = text_query and _is_zero(q)
+        if not text_only and len(idx) > 0:
+            fetch = max(k, (ef or 0))
+            if text_query or (decay and h.memory.enabled):
+                fetch = max(fetch, 2 * k)  # headroom for re-ranking
+            allow_arr = None
+            if allow is not None:
+                allow_arr = np.zeros(_cap_of(idx), bool)
+                rows = [r for r in allow if r < allow_arr.size]
+                allow_arr[rows] = True
+            d, rows_out = idx.search(q, fetch, ef=ef, allow_rows=allow_arr)
+            for b in range(B):
+                for j in range(rows_out.shape[1]):
+                    r = int(rows_out[b, j])
+                    if r >= 0:
+                        vec_hits[b][r] = float(d[b, j])
+
+        out = []
+        now = time.time()
+        for b in range(B):
+            vec_sim = fusion.minmax_normalize(vec_hits[b], invert=True)
+            if text_scores:
+                fused = fusion.fuse(vec_sim,
+                                    fusion.minmax_normalize(text_scores),
+                                    alpha)
+            else:
+                fused = vec_sim
+            hits = []
+            for r, score in fused.items():
+                meta = h.meta.get(r)
+                if decay and h.memory.enabled:
+                    score *= fusion.decay_factor(meta, h.memory, now)
+                ext = idx.ids.row_to_ext[r] if r < len(idx.ids.row_to_ext) \
+                    else None
+                if ext is None:
+                    continue
+                hit = {"id": ext, "score": score}
+                if r in vec_hits[b]:
+                    hit["distance"] = vec_hits[b][r]
+                if include_metadata:
+                    hit["metadata"] = meta or {}
+                hits.append(hit)
+            hits.sort(key=lambda x: -x["score"])
+            out.append(hits[:k])
+        return out
+
+    def search_graph(self, index: str, query, k: int = 10, *,
+                     hydrate_depth: int = 1, **kw) -> list[list[dict]]:
+        """VSearchGraph (ops.go:541-692): per-hit relation hydration."""
+        res = self.search(index, query, k, **kw)
+        for hits in res:
+            for hit in hits:
+                nid = f"{index}/{hit['id']}"
+                hit["edges"] = [
+                    {"relation": rel, "target": e.target,
+                     "weight": e.weight, "props": e.props}
+                    for rel, e in self.graph.out_edges(nid)]
+        return res
+
+    def _live_rows(self, h: IndexHandle) -> set[int]:
+        ids = getattr(h.index, "ids", None)
+        if ids is None:
+            return set()
+        return set(ids.ext_to_row.values())
+
+    # ------------------------------------------------------------- graph ops
+
+    def link(self, index: str, source: str, relation: str, target: str, *,
+             weight: float = 1.0, props: Optional[dict] = None,
+             inverse: Optional[str] = None, _journal: bool = True,
+             created_at: Optional[float] = None) -> None:
+        """VLink (engine/graph.go:65-143); ids namespaced index/node."""
+        src, dst = f"{index}/{source}", f"{index}/{target}"
+        now = created_at if created_at is not None else time.time()
+        with self._lock:
+            if _journal:
+                self._journal("GLINK", src, relation, dst, str(weight),
+                              json.dumps(props or {}), str(now))
+            self.graph.add_edge(src, relation, dst, weight=weight,
+                                props=props, created_at=now)
+            if inverse:
+                if _journal:
+                    self._journal("GLINK", dst, inverse, src, str(weight),
+                                  json.dumps(props or {}), str(now))
+                self.graph.add_edge(dst, inverse, src, weight=weight,
+                                    props=props, created_at=now)
+        self.events.emit(Event("edge.create", index, source,
+                               {"relation": relation, "target": target}))
+
+    def unlink(self, index: str, source: str, relation: str, target: str,
+               _journal: bool = True,
+               deleted_at: Optional[float] = None) -> bool:
+        src, dst = f"{index}/{source}", f"{index}/{target}"
+        now = deleted_at if deleted_at is not None else time.time()
+        with self._lock:
+            if _journal:
+                self._journal("GUNLINK", src, relation, dst, str(now))
+            ok = self.graph.remove_edge(src, relation, dst, deleted_at=now)
+        if ok:
+            self.events.emit(Event("edge.delete", index, source,
+                                   {"relation": relation, "target": target}))
+        return ok
+
+    def get_edges(self, index: str, node: str,
+                  relation: Optional[str] = None,
+                  at_time: Optional[float] = None) -> list[dict]:
+        """VGetEdges (engine/graph.go:391-440)."""
+        out = []
+        for rel, e in self.graph.out_edges(f"{index}/{node}", relation,
+                                           at_time):
+            out.append({"relation": rel, "target": e.target.split("/", 1)[-1],
+                        "weight": e.weight, "props": e.props,
+                        "created_at": e.created_at})
+        return out
+
+    def get_incoming_edges(self, index: str, node: str,
+                           relation: Optional[str] = None,
+                           at_time: Optional[float] = None) -> list[dict]:
+        out = []
+        for rel, r in self.graph.in_edges(f"{index}/{node}", relation,
+                                          at_time):
+            out.append({"relation": rel, "source": r.source.split("/", 1)[-1],
+                        "created_at": r.created_at})
+        return out
+
+    def traverse(self, index: str, start: str, path: str, *,
+                 at_time: Optional[float] = None,
+                 include_metadata: bool = False) -> list[dict]:
+        """VTraverse (ops.go:594-695): dot-path N-hop hydration, e.g.
+        "knows.works_at" walks knows edges then works_at edges."""
+        rels = [p for p in path.split(".") if p]
+        frontier = [f"{index}/{start}"]
+        for rel in rels:
+            nxt: list[str] = []
+            for node in frontier:
+                for _, e in self.graph.out_edges(node, rel, at_time):
+                    nxt.append(e.target)
+            frontier = nxt
+        out = []
+        h = self.indexes.get(index)
+        for node in frontier:
+            ext = node.split("/", 1)[-1]
+            item = {"id": ext}
+            if include_metadata and h is not None:
+                row = h.index.ids.get(ext)
+                if row is not None:
+                    item["metadata"] = h.meta.get(row) or {}
+            out.append(item)
+        return out
+
+    def extract_subgraph(self, index: str, root: str, depth: int = 2, *,
+                         relation: Optional[str] = None,
+                         at_time: Optional[float] = None,
+                         guide_vector: Optional[Sequence[float]] = None,
+                         guide_threshold: float = 0.0) -> dict[str, Any]:
+        """VExtractSubgraph (engine/graph.go:296-389): BFS-hydrated subgraph,
+        optionally pruned by semantic similarity to a guide vector."""
+        h = self._handle(index)
+        nodes = self.graph.bfs([f"{index}/{root}"],
+                               min(depth, GRAPH_DEPTH_CLAMP),
+                               relation=relation, at_time=at_time)
+        keep = set(nodes)
+        if guide_vector is not None and len(h.index) > 0:
+            exts = [n.split("/", 1)[-1] for n in nodes]
+            rows = [h.index.ids.get(e) for e in exts]
+            valid = [(n, r) for n, r in zip(nodes, rows) if r is not None]
+            if valid:
+                q = np.asarray(guide_vector, np.float32)[None, :]
+                allow = np.zeros(_cap_of(h.index), bool)
+                allow[[r for _, r in valid]] = True
+                d, rr = h.index.search(q, len(valid), allow_rows=allow)
+                sims = fusion.minmax_normalize(
+                    {int(r): float(dd) for dd, r in zip(d[0], rr[0])
+                     if r >= 0}, invert=True)
+                ok_rows = {r for r, s in sims.items()
+                           if s >= guide_threshold}
+                keep = {n for n, r in valid if r in ok_rows} | \
+                    {f"{index}/{root}"}
+        edges = []
+        for n in keep:
+            for rel, e in self.graph.out_edges(n, relation, at_time):
+                if e.target in keep:
+                    edges.append({"source": n.split("/", 1)[-1],
+                                  "relation": rel,
+                                  "target": e.target.split("/", 1)[-1],
+                                  "weight": e.weight})
+        return {"root": root,
+                "nodes": sorted(n.split("/", 1)[-1] for n in keep),
+                "edges": edges}
+
+    def find_path(self, index: str, start: str, goal: str, *,
+                  max_depth: int = 10, relation: Optional[str] = None,
+                  at_time: Optional[float] = None) -> Optional[list[str]]:
+        """FindPath (pathfinding.go:16) — bidirectional BFS."""
+        p = self.graph.find_path(f"{index}/{start}", f"{index}/{goal}",
+                                 max_depth=max_depth, relation=relation,
+                                 at_time=at_time)
+        if p is None:
+            return None
+        return [n.split("/", 1)[-1] for n in p]
+
+    def evolve(self, index: str, old_id: str, new_id: str,
+               vector: Sequence[float],
+               metadata: Optional[dict] = None) -> None:
+        """VEvolve (ops.go:842-894): create successor node, link
+        superseded_by/evolves_from, copy incoming edges, mark old
+        _is_historical."""
+        h = self._handle(index)
+        self.add(index, new_id, vector, metadata)
+        self.link(index, old_id, "superseded_by", new_id)
+        self.link(index, new_id, "evolves_from", old_id)
+        old_node = f"{index}/{old_id}"
+        for rel, r in list(self.graph.in_edges(old_node)):
+            if rel in ("superseded_by", "evolves_from"):
+                continue
+            src_ext = r.source.split("/", 1)[-1]
+            self.link(index, src_ext, rel, new_id)
+        row = self._row_of(h, old_id)
+        if row is not None:
+            self.update_metadata(index, old_id, {"_is_historical": True})
+        self.events.emit(Event("memory.evolution", index, new_id,
+                               {"from": old_id}))
+
+    def evolution_chain(self, index: str, node: str,
+                        max_len: int = 50) -> list[str]:
+        """Walk evolves_from links back in time."""
+        chain = [node]
+        cur = node
+        for _ in range(max_len):
+            edges = self.get_edges(index, cur, relation="evolves_from")
+            if not edges:
+                break
+            cur = edges[0]["target"]
+            chain.append(cur)
+        return chain
+
+    def belief_state(self, index: str, node_id: str, *, k: int = 10,
+                     language: Optional[str] = None):
+        """VBeliefState (epistemic.go:22) — see engine/epistemic.py."""
+        from . import epistemic
+        h = self._handle(index)
+        return epistemic.assess(self, index, node_id, k=k,
+                                language=language or h.language)
+
+    # ------------------------------------------------------------------- KV
+
+    def kv_set(self, key: str, value: bytes | str,
+               _journal: bool = True) -> None:
+        with self._lock:
+            if _journal:
+                self._journal("SET", key,
+                              value if isinstance(value, (bytes, bytearray))
+                              else value.encode())
+            self.kv.set(key, value)
+
+    def kv_get(self, key: str) -> Optional[bytes]:
+        return self.kv.get(key)
+
+    def kv_delete(self, key: str, _journal: bool = True) -> bool:
+        with self._lock:
+            if _journal:
+                self._journal("DEL", key)
+            return self.kv.delete(key)
+
+    def kv_scan(self, prefix: str = "") -> list[tuple[str, bytes]]:
+        return list(self.kv.scan(prefix))
+
+    # ------------------------------------------------------------ maintenance
+
+    def stats(self) -> dict[str, Any]:
+        return {
+            "indexes": {n: self.index_info(n) for n in self.indexes},
+            "kv_keys": len(self.kv),
+            "graph_nodes": len(self.graph.out),
+            "dirty_ops": self._dirty,
+            "events_dropped": self.events.dropped,
+        }
+
+    def run_maintenance(self) -> dict[str, str]:
+        """DB.RunMaintenance (core.go:412) → per-index optimizer cycle."""
+        out = {}
+        with self._lock:
+            for name, h in self.indexes.items():
+                if hasattr(h.index, "run_maintenance_cycle"):
+                    out[name] = h.index.run_maintenance_cycle()
+        return out
+
+    def _background(self) -> None:
+        """engine.go:277-320: snapshot check, maintenance tick, graph
+        vacuum. AOF flushing runs inside LazyAOFWriter's own thread."""
+        last_maint = last_vacuum = time.time()
+        while not self._stop.wait(1.0):
+            now = time.time()
+            try:
+                if self.config.data_dir and self._dirty and (
+                        self._dirty >= self.config.snapshot_dirty_threshold
+                        or now - self._last_snapshot
+                        >= self.config.snapshot_interval):
+                    self.save_snapshot()
+                if self._aof is not None:
+                    size = self._aof.size()
+                    if (size > self.config.aof_rewrite_min_bytes
+                            and size > self._aof_base_size
+                            * (1 + self.config.aof_rewrite_growth)):
+                        self.save_snapshot()   # snapshot implies AOF truncate
+                if now - last_maint >= self.config.maintenance_interval:
+                    last_maint = now
+                    self.run_maintenance()
+                if now - last_vacuum >= self.config.graph_vacuum_interval:
+                    last_vacuum = now
+                    with self._lock:
+                        self.graph.vacuum(now - 30 * 24 * 3600)
+            except Exception:   # pragma: no cover - keep the loop alive
+                log.exception("background maintenance error")
+
+    # --------------------------------------------------------- checkpointing
+
+    def save_snapshot(self) -> Optional[str]:
+        """SaveSnapshot (recovery.go:459-558): shadow-buffer the AOF, write
+        dense-array checkpoint, truncate AOF, replay shadow writes."""
+        if not self.config.data_dir:
+            return None
+        with self._lock:
+            if self._aof:
+                self._aof.begin_snapshot_mode()
+            try:
+                arrays, state = self._snapshot_state()
+                path = ckptlib.save(self._ckpt_root(), arrays, state)
+                if self._aof:
+                    self._aof.truncate()
+            finally:
+                if self._aof:
+                    self._aof.write_raw_frames(self._aof.end_snapshot_mode())
+            self._dirty = 0
+            self._last_snapshot = time.time()
+            self._aof_base_size = self._aof.size() if self._aof else 0
+        return path
+
+    def _snapshot_state(self) -> tuple[dict, dict]:
+        arrays: dict[str, np.ndarray] = {}
+        state: dict[str, Any] = {
+            "version": 1,
+            "kv": self.kv.items(),
+            "graph": _graph_to_state(self.graph),
+            "indexes": {},
+        }
+        for name, h in self.indexes.items():
+            idx = h.index
+            if hasattr(idx, "flush"):
+                idx.flush()
+            if isinstance(idx, _LazyIndex):
+                state["indexes"][name] = {
+                    "lazy": True, "metric": idx.metric,
+                    "precision": idx.precision,
+                    "config": asdict(idx.cfg),
+                    "language": h.language,
+                    "memory": _memory_to_state(h.memory),
+                    "auto_links": [asdict(r) for r in h.auto_links],
+                }
+                continue
+            for leaf, val in idx.state._asdict().items():
+                arrays[f"{name}/{leaf}"] = np.asarray(val)
+            state["indexes"][name] = {
+                "lazy": False,
+                "metric": idx.metric, "precision": idx.precision,
+                "dim": idx.dim, "config": asdict(idx.config),
+                "language": h.language,
+                "memory": _memory_to_state(h.memory),
+                "auto_links": [asdict(r) for r in h.auto_links],
+                "ext_to_row": dict(idx.ids.ext_to_row),
+                "free": list(idx.ids.free),
+                "rows": len(idx.ids.row_to_ext),
+                "deleted_rows": list(idx._deleted_rows),
+                "up_free": list(idx._up_free),
+                "up_next": idx._up_next,
+                "max_level": idx._max_level,
+                "needs_refine": idx.needs_refine,
+                "quantizer": {
+                    "abs_max": float(idx.quantizer.abs_max),
+                    "trained": bool(idx.quantizer.trained)},
+                "metadata": {int(r): m for r, m in h.meta.direct.items()},
+            }
+        return arrays, state
+
+    def _load_checkpoint(self) -> None:
+        loaded = ckptlib.load(self._ckpt_root())
+        if loaded is None:
+            return
+        arrays, state = loaded
+        for k, v in (state.get("kv") or {}).items():
+            self.kv.set(k, v)
+        _graph_from_state(self.graph, state.get("graph") or {})
+        import jax.numpy as jnp
+
+        from ..index import hnsw_kernels as K
+        from ..ops import quantize as quant
+        for name, st in (state.get("indexes") or {}).items():
+            cfg = HNSWConfig(**st["config"])
+            if st.get("lazy"):
+                h = IndexHandle(name, _LazyIndex(st["metric"],
+                                                st["precision"], cfg),
+                                language=st.get("language", "english"))
+            else:
+                idx = HNSWIndex(st["dim"], st["metric"], st["precision"], cfg)
+                leaves = {leaf: jnp.asarray(arrays[f"{name}/{leaf}"])
+                          for leaf in K.GraphState._fields}
+                idx.state = K.GraphState(**leaves)
+                idx._cap = idx.state.vectors.shape[0]
+                idx._ucap = idx.state.up_node.shape[0]
+                idx.ids.ext_to_row = dict(st["ext_to_row"])
+                idx.ids.row_to_ext = [None] * st["rows"]
+                for e, r in idx.ids.ext_to_row.items():
+                    idx.ids.row_to_ext[r] = e
+                idx.ids.free = list(st["free"])
+                idx._deleted_rows = set(int(r) for r in st["deleted_rows"])
+                idx._up_free = list(st["up_free"])
+                idx._up_next = int(st["up_next"])
+                idx._max_level = int(st["max_level"])
+                idx.needs_refine = bool(st["needs_refine"])
+                idx.quantizer = quant.QuantizerState(
+                    abs_max=jnp.float32(st["quantizer"]["abs_max"]),
+                    trained=jnp.asarray(bool(st["quantizer"]["trained"])))
+                h = IndexHandle(name, idx,
+                                language=st.get("language", "english"))
+                for r, m in (st.get("metadata") or {}).items():
+                    h.meta.set(int(r), m)
+            h.memory = _memory_from_state(st.get("memory") or {})
+            h.auto_links = [AutoLinkRule(**r)
+                            for r in st.get("auto_links") or []]
+            self.indexes[name] = h
+
+    # --------------------------------------------------------------- replay
+
+    def _replay_aof(self) -> None:
+        """replayAOF (recovery.go:78-457): frame-by-frame with in-memory
+        compaction — later ops overwrite earlier — then bulk apply."""
+        corrupt: list[int] = []
+        kv_data: dict[str, Optional[bytes]] = {}
+        idx_ops: dict[str, dict[str, Any]] = {}
+        order: list[tuple] = []
+        for opcode, payload in aoflib.read_frames(
+                self._aof_path(), on_corruption=corrupt.append):
+            try:
+                parts = parse_command(payload)
+            except Exception:
+                continue
+            if not parts:
+                continue
+            cmd = parts[0].decode().upper()
+            try:
+                self._compact_one(cmd, parts, kv_data, idx_ops, order)
+            except Exception:
+                log.warning("skipping bad AOF command %s", cmd)
+        if corrupt:
+            log.warning("AOF resync: %d corrupt region(s) skipped",
+                        len(corrupt))
+        # bulk apply
+        for k, v in kv_data.items():
+            if v is None:
+                self.kv.delete(k)
+            else:
+                self.kv.set(k, v)
+        for name, ops in idx_ops.items():
+            if ops.get("dropped"):
+                self.indexes.pop(name, None)
+                continue
+            if name not in self.indexes and ops.get("create"):
+                c = ops["create"]
+                self.create_index(name, _journal=False, **c)
+            if name not in self.indexes:
+                continue
+            entries = ops.get("entries") or {}
+            alive = {e: v for e, v in entries.items() if v is not None}
+            if alive:
+                h = self.indexes[name]
+                todo = {e: v for e, v in alive.items()
+                        if self._row_of(h, e) is None}
+                if todo:
+                    ids = list(todo.keys())
+                    vecs = np.stack([np.frombuffer(todo[e][0], np.float32)
+                                     for e in ids])
+                    metas = [todo[e][1] for e in ids]
+                    self.add_batch(name, ids, vecs, metas, _journal=False)
+                for e, v in alive.items():
+                    if v[1] and e not in todo:
+                        row = self._row_of(self.indexes[name], e)
+                        if row is not None:
+                            self.indexes[name].meta.update(row, v[1])
+            for e, v in entries.items():
+                if v is None and name in self.indexes:
+                    self.delete(name, e, _journal=False)
+            # VMETA patches for rows that predate this AOF segment
+            for e, patch in ops.get("meta_patches") or []:
+                row = self._row_of(self.indexes[name], e)
+                if row is not None:
+                    self.indexes[name].meta.update(row, patch)
+            if ops.get("config"):
+                self.configure_index(name, ops["config"], _journal=False)
+        for op in order:
+            if op[0] == "GLINK":
+                _, src, rel, dst, w, props, ts = op
+                self.graph.add_edge(src, rel, dst, weight=w, props=props,
+                                    created_at=ts)
+            elif op[0] == "GUNLINK":
+                _, src, rel, dst, ts = op
+                self.graph.remove_edge(src, rel, dst, deleted_at=ts)
+
+    def _compact_one(self, cmd: str, parts: list[bytes], kv_data, idx_ops,
+                     order) -> None:
+        def dec(i):
+            return parts[i].decode()
+
+        if cmd == "SET":
+            kv_data[dec(1)] = parts[2]
+        elif cmd == "DEL":
+            kv_data[dec(1)] = None
+        elif cmd == "VCREATE":
+            # VCREATE name metric precision config_json
+            cfg = json.loads(dec(4)) if len(parts) > 4 and parts[4] else {}
+            idx_ops.setdefault(dec(1), {})["create"] = dict(
+                metric=dec(2), precision=dec(3), **cfg)
+        elif cmd == "VDROP":
+            idx_ops.setdefault(dec(1), {})["dropped"] = True
+        elif cmd == "VADD":
+            # VADD index id vec_bytes meta_json
+            meta = json.loads(dec(4)) if len(parts) > 4 and parts[4] else None
+            idx_ops.setdefault(dec(1), {}).setdefault(
+                "entries", {})[dec(2)] = (parts[3], meta)
+        elif cmd == "VDEL":
+            idx_ops.setdefault(dec(1), {}).setdefault(
+                "entries", {})[dec(2)] = None
+        elif cmd == "VMETA":
+            ops = idx_ops.setdefault(dec(1), {})
+            cur = ops.setdefault("entries", {}).get(dec(2))
+            patch = json.loads(dec(3))
+            if cur is not None:
+                merged = dict(cur[1] or {})
+                merged.update(patch)
+                ops["entries"][dec(2)] = (cur[0], merged)
+            else:
+                ops.setdefault("meta_patches", []).append((dec(2), patch))
+        elif cmd == "VCONFIG":
+            idx_ops.setdefault(dec(1), {})["config"] = json.loads(dec(2))
+        elif cmd == "GLINK":
+            order.append(("GLINK", dec(1), dec(2), dec(3), float(dec(4)),
+                          json.loads(dec(5)), float(dec(6))))
+        elif cmd == "GUNLINK":
+            order.append(("GUNLINK", dec(1), dec(2), dec(3), float(dec(4))))
+
+
+class _LazyIndex:
+    """Placeholder until the first vector fixes the dimension (the reference
+    also validates dim on insert, ops.go:334-347)."""
+
+    def __init__(self, metric: str, precision: str, cfg: HNSWConfig):
+        # validate combos eagerly (hnsw_index.go:187-213)
+        if precision == dist.BF16 and metric != dist.L2:
+            raise ValueError("bfloat16 precision supports only euclidean")
+        if precision == dist.INT8 and metric != dist.COSINE:
+            raise ValueError("int8 precision supports only cosine")
+        self.metric = metric
+        self.precision = precision
+        self.cfg = cfg
+        self.dim = 0
+        self.config = cfg
+        self.needs_refine = False
+        self.deleted_count = 0
+        from ..index.base import IDMap
+        self.ids = IDMap()
+
+    def __len__(self):
+        return 0
+
+    def flush(self) -> None:
+        pass
+
+    def delete(self, ext_id: str) -> bool:
+        return False
+
+    def search(self, queries, k, **kw):
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        return (np.full((q.shape[0], k), np.inf, np.float32),
+                np.full((q.shape[0], k), -1, np.int32))
+
+
+def _is_zero(q: np.ndarray) -> bool:
+    return not np.any(q)
+
+
+def _cap_of(idx) -> int:
+    return getattr(idx, "_cap", len(idx))
+
+
+def _graph_to_state(g: KnowledgeGraph) -> dict:
+    out = {}
+    for node, rels in g.out.items():
+        out[node] = {
+            rel: [[e.target, e.created_at, e.deleted_at, e.weight,
+                   json.dumps(e.props)] for e in edges]
+            for rel, edges in rels.items()}
+    return out
+
+
+def _graph_from_state(g: KnowledgeGraph, state: dict) -> None:
+    from .graph import Edge, ReverseEdge
+    for node, rels in state.items():
+        for rel, edges in rels.items():
+            for t, c, dl, w, props in edges:
+                e = Edge(t, c, dl, w, json.loads(props))
+                g.out.setdefault(node, {}).setdefault(rel, []).append(e)
+                g.inc.setdefault(t, {}).setdefault(rel, []).append(
+                    ReverseEdge(node, c, dl))
+
+
+def _memory_to_state(m: fusion.MemoryConfig) -> dict:
+    return {"enabled": m.enabled, "decay_half_life": m.decay_half_life,
+            "decay_model": m.decay_model,
+            "layers": {k: asdict(v) for k, v in m.layers.items()}}
+
+
+def _memory_from_state(st: dict) -> fusion.MemoryConfig:
+    return fusion.MemoryConfig(
+        enabled=bool(st.get("enabled", False)),
+        decay_half_life=float(st.get("decay_half_life", 30 * 24 * 3600.0)),
+        decay_model=st.get("decay_model", "exponential"),
+        layers={k: fusion.LayerConfig(**v)
+                for k, v in (st.get("layers") or {}).items()})

@@ -37,6 +37,7 @@ class HNSWConfig:
     refine_ef: int = 0               # 0 → ef_construction
     refine_batch: int = 512          # optimizer.go default 500
     intra_k: int = 16                # intra-chunk brute-force candidates
+    expand: int = 4                  # beam width expanded per lockstep iter
     vacuum_deleted_ratio: float = 0.10   # optimizer.go:49-126 default
     fast_ef: int = 40                # AddBatchFast floor (hnsw_index.go:1461-1467)
 
@@ -189,40 +190,10 @@ class HNSWIndex:
         enc_n, norms_n = self._encode(vectors)
         enc = jnp.zeros((pad_to, self.dim), enc_n.dtype).at[:n].set(enc_n)
         norms = jnp.zeros((pad_to,), jnp.float32).at[:n].set(norms_n)
-        rows_j = jnp.asarray(rows)
-        st = K.write_vectors(self.state, rows_j, enc, norms)
-
-        # candidate search against the committed graph
-        m = self.config.m
-        if int(self.state.size) > 0:
-            bd, bi = K.beam_search(st, enc, norms, metric=self.metric,
-                                   ef=ef, for_insert=True)
-        else:
-            bd = jnp.full((pad_to, ef), jnp.inf, jnp.float32)
-            bi = jnp.full((pad_to, ef), -1, jnp.int32)
-
-        # intra-chunk brute-force candidates (the reference's partial
-        # intra-batch visibility, hnsw_index.go:1755-1844)
-        ik = min(self.config.intra_k, pad_to - 1)
-        if ik > 0:
-            P = dist.pairwise(enc, enc, self.metric,
-                              corpus_norms=norms, query_norms=norms)
-            eye = jnp.arange(pad_to)
-            P = jnp.where((eye[:, None] == eye[None, :])
-                          | (rows_j[None, :] < 0) | (rows_j[:, None] < 0),
-                          jnp.inf, P)
-            nd, npos = jnp.sort(P, axis=1)[:, :ik], jnp.argsort(P, axis=1)[:, :ik]
-            ni = jnp.where(jnp.isinf(nd), -1, rows_j[npos])
-            all_d = jnp.concatenate([bd, nd], axis=1)
-            all_i = jnp.concatenate([bi, ni], axis=1)
-            td, tp = jnp.sort(all_d, axis=1), jnp.argsort(all_d, axis=1)
-            all_d, all_i = td, jnp.take_along_axis(all_i, tp, axis=1)
-        else:
-            all_d, all_i = bd, bi
-
-        sel_i, sel_d = K.select_neighbors(st, all_d, all_i, m, self.metric)
-        st = K.commit_chunk(st, rows_j, sel_i, sel_d,
-                            jnp.asarray(levels), metric=self.metric, m=m)
+        st = K.insert_chunk(self.state, jnp.asarray(rows), enc, norms,
+                            jnp.asarray(levels), metric=self.metric, ef=ef,
+                            m=self.config.m, intra_k=self.config.intra_k,
+                            dual=bool(self._deleted_rows))
 
         # upper-level registration for new nodes with level >= 1
         ups = [(int(r), int(l)) for r, l in zip(rows, levels) if l >= 1 and r >= 0]
@@ -391,8 +362,10 @@ class HNSWIndex:
             else:
                 allow = allow.at[jnp.asarray(a.astype(np.int32))].set(
                     True, mode="drop")
+        dual = allow is not None or bool(self._deleted_rows)
         d, i = K.beam_search(self.state, q, qn, metric=self.metric,
-                             ef=ef, allow=allow)
+                             ef=ef, allow=allow, dual=dual,
+                             expand=self.config.expand)
         return np.asarray(d[:, :k]), np.asarray(i[:, :k])
 
     def search_ids(self, queries: np.ndarray, k: int, **kw):

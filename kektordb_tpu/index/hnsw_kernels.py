@@ -163,7 +163,8 @@ def descend(state: GraphState, q: jax.Array, qn: Optional[jax.Array],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "ef", "expand", "max_iters", "for_insert"))
+    static_argnames=("metric", "ef", "expand", "max_iters", "dual",
+                     "history"))
 def beam_search(
     state: GraphState,
     q: jax.Array,                 # [B, D] storage dtype (already encoded)
@@ -171,33 +172,50 @@ def beam_search(
     *,
     metric: str,
     ef: int,
-    expand: int = 1,
+    expand: int = 4,
     max_iters: int = 0,
     allow: Optional[jax.Array] = None,     # [cap] bool — result eligibility
     exclude: Optional[jax.Array] = None,   # [B] row to exclude (refine self)
-    for_insert: bool = False,
+    dual: bool = False,
+    history: int = 0,
+    for_insert: bool = False,              # kept for call-site clarity
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (res_d [B, ef] ascending, res_i [B, ef]; +inf/-1 padded).
 
-    Lockstep expansion with per-query done flags; termination matches the
-    reference lower-bound rule (best unexpanded candidate worse than the
-    current ef-th result once the result pool is full,
-    hnsw_index.go:2490-2495).
+    Lockstep multi-expand beam: each iteration pops the best `expand`
+    unexpanded candidates of every query, gathers their neighbor rows, and
+    merges freshly-scored nodes into the pool with one fused top-k. The
+    reference's per-query visited bitset (bitset.go, pooled in
+    hnsw_index.go:42-120) is replaced by structural dedup — membership tests
+    against the pool itself, an expansion-history ring, and an intra-batch
+    earlier-position mask — so no O(B·cap) visited table is materialized
+    (the key memory-design decision flagged in SURVEY §7.4).
+
+    dual=False (fast path): one pool; valid only when every row is result-
+    eligible (no filter, no deletions, no exclusion).
+    dual=True: separate traversal and result pools, matching the reference's
+    candidates-heap / results-heap split with filters folded into traversal
+    (hnsw_index.go:2340-2600, allowList + deleted semantics :2534-2579).
+
+    Termination per query: best unexpanded candidate >= current ef-th result
+    (hnsw_index.go:2490-2495).
     """
     B, _ = q.shape
-    cap = state.vectors.shape[0]
     M0 = state.nbrs.shape[1]
     E = expand
     C = E * M0
     if max_iters <= 0:
-        max_iters = 2 * ef + 32
+        max_iters = (2 * ef) // E + 24
+    R = history if history > 0 else _next_pow2(max_iters * E)
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    # result pool excludes deleted rows (traversable-but-excluded,
-    # hnsw_index.go:2570-2579) and rows outside the allow mask
-    res_ok_global = ~state.deleted
-    if allow is not None:
-        res_ok_global = res_ok_global & allow
+    res_ok_global = None
+    if dual:
+        # result pool excludes deleted rows (traversable-but-excluded,
+        # hnsw_index.go:2570-2579) and rows outside the allow mask
+        res_ok_global = ~state.deleted
+        if allow is not None:
+            res_ok_global = res_ok_global & allow
 
     # --- seeds: descent result + (filtered search) the first allowed row,
     # mirroring the reference's smart entry point (hnsw_index.go:421-431).
@@ -209,14 +227,9 @@ def beam_search(
         fa = jnp.where(has_allowed, first_allowed, start[0]).astype(jnp.int32)
         seeds = jnp.concatenate(
             [seeds, jnp.broadcast_to(fa, (B, 1))], axis=1)      # [B, 2]
-    S = seeds.shape[1]
-
-    visited = jnp.zeros((B, cap), jnp.uint8)
-    visited = visited.at[bidx, seeds].set(1)
     seed_d = _gathered(state, seeds, q, qn, metric)
 
-    def pool_merge(pd, pi, px, nd, ni, width):
-        """Merge (nd, ni) into pool keeping `width` best; carries flags px."""
+    def merge(pd, pi, px, nd, ni, width):
         ad = jnp.concatenate([pd, nd], axis=1)
         ai = jnp.concatenate([pi, ni], axis=1)
         ax = jnp.concatenate([px, jnp.zeros_like(ni, bool)], axis=1)
@@ -224,26 +237,29 @@ def beam_search(
         return (-top_d, jnp.take_along_axis(ai, pos, 1),
                 jnp.take_along_axis(ax, pos, 1))
 
-    # traversal pool (candidates): width ef
     pad_d = jnp.full((B, ef), jnp.inf, jnp.float32)
     pad_i = jnp.full((B, ef), -1, jnp.int32)
     pad_x = jnp.zeros((B, ef), bool)
-    cand_d, cand_i, cand_x = pool_merge(pad_d, pad_i, pad_x, seed_d, seeds, ef)
+    cand_d, cand_i, cand_x = merge(pad_d, pad_i, pad_x, seed_d, seeds, ef)
 
-    # result pool: only allowed & not-deleted
-    seed_ok = res_ok_global[seeds] & (seeds >= 0)
-    if exclude is not None:
-        seed_ok = seed_ok & (seeds != exclude[:, None])
-    rd0 = jnp.where(seed_ok, seed_d, jnp.inf)
-    ri0 = jnp.where(seed_ok, seeds, -1)
-    res_d, res_i, _ = pool_merge(pad_d, pad_i, pad_x, rd0, ri0, ef)
+    if dual:
+        seed_ok = res_ok_global[seeds] & (seeds >= 0)
+        if exclude is not None:
+            seed_ok = seed_ok & (seeds != exclude[:, None])
+        rd0 = jnp.where(seed_ok, seed_d, jnp.inf)
+        ri0 = jnp.where(seed_ok, seeds, -1)
+        res_d, res_i, _ = merge(pad_d, pad_i, pad_x, rd0, ri0, ef)
+    else:
+        res_d, res_i = cand_d, cand_i
+
+    hist = jnp.full((B, R), -1, jnp.int32)
 
     def cond(carry):
         it, done, *_ = carry
         return (it < max_iters) & jnp.any(~done)
 
     def body(carry):
-        it, done, visited, cand_d, cand_i, cand_x, res_d, res_i = carry
+        it, done, hist, cand_d, cand_i, cand_x, res_d, res_i = carry
         ud = jnp.where(cand_x | (cand_i < 0), jnp.inf, cand_d)
         neg_sel, sel_pos = jax.lax.top_k(-ud, E)                 # [B, E]
         sel_d = -neg_sel
@@ -251,32 +267,49 @@ def beam_search(
         bound = res_d[:, -1]
         qdone = done | (sel_d[:, 0] >= bound) | (sel_i[:, 0] < 0)
         cand_x = cand_x.at[bidx, sel_pos].set(True)
+        hist = jax.lax.dynamic_update_slice(
+            hist, sel_i, (0, (it * E) % R))
 
         nb = state.nbrs[jnp.maximum(sel_i, 0)].reshape(B, C)
         nb = jnp.where((sel_i >= 0).repeat(M0, axis=1), nb, -1)
-        vis = jnp.take_along_axis(visited, jnp.maximum(nb, 0), 1)
-        fresh = (nb >= 0) & (vis == 0) & ~qdone[:, None]
+        # structural dedup: vs pool, vs expansion history, vs earlier slot
+        dup = jnp.any(nb[:, :, None] == cand_i[:, None, :], axis=2)
+        dup |= jnp.any(nb[:, :, None] == hist[:, None, :], axis=2)
+        eq = nb[:, :, None] == nb[:, None, :]
+        tri = jnp.tril(jnp.ones((C, C), bool), k=-1)
+        dup |= jnp.any(eq & tri[None], axis=2)
+        if dual:
+            dup |= jnp.any(nb[:, :, None] == res_i[:, None, :], axis=2) \
+                & ~jnp.any(nb[:, :, None] == cand_i[:, None, :], axis=2)
+        fresh = (nb >= 0) & ~dup & ~qdone[:, None]
         nb = jnp.where(fresh, nb, -1)
-        visited = visited.at[bidx, nb].set(1, mode="drop")
 
         nd = _gathered(state, nb, q, qn, metric)                  # inf for -1
-        cand_d, cand_i, cand_x = pool_merge(cand_d, cand_i, cand_x, nd, nb, ef)
+        cand_d, cand_i, cand_x = merge(cand_d, cand_i, cand_x, nd, nb, ef)
+        if dual:
+            ok = fresh & res_ok_global[jnp.maximum(nb, 0)]
+            if exclude is not None:
+                ok = ok & (nb != exclude[:, None])
+            rd = jnp.where(ok, nd, jnp.inf)
+            ri = jnp.where(ok, nb, -1)
+            res_d, res_i, _ = merge(res_d, res_i,
+                                    jnp.zeros_like(res_d, bool), rd, ri, ef)
+        else:
+            res_d, res_i = cand_d, cand_i
+        return (it + 1, qdone, hist, cand_d, cand_i, cand_x, res_d, res_i)
 
-        ok = fresh & res_ok_global[jnp.maximum(nb, 0)]
-        if exclude is not None:
-            ok = ok & (nb != exclude[:, None])
-        rd = jnp.where(ok, nd, jnp.inf)
-        ri = jnp.where(ok, nb, -1)
-        res_d, res_i, _ = pool_merge(res_d, res_i,
-                                     jnp.zeros_like(res_d, bool), rd, ri, ef)
-        return (it + 1, qdone, visited, cand_d, cand_i, cand_x, res_d, res_i)
-
-    init = (jnp.int32(0), jnp.zeros((B,), bool), visited,
+    init = (jnp.int32(0), jnp.zeros((B,), bool), hist,
             cand_d, cand_i, cand_x, res_d, res_i)
     *_, res_d, res_i = jax.lax.while_loop(cond, body, init)
-    # ascending order (top_k of -d yields ascending d already)
     res_i = jnp.where(jnp.isinf(res_d), -1, res_i)
     return res_d, res_i
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -453,6 +486,57 @@ def commit_chunk(
 
 
 # ---------------------------------------------------------------------------
+# full insert pipeline as one program (AddBatch phases 0-4 fused)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "ef", "m", "intra_k", "dual"))
+def insert_chunk(
+    state: GraphState,
+    rows: jax.Array,         # [C] int32, -1 padded
+    enc: jax.Array,          # [C, D] encoded vectors (padding rows zeroed)
+    norms: jax.Array,        # [C] f32
+    new_levels: jax.Array,   # [C] int32, -1 padded
+    *,
+    metric: str,
+    ef: int,
+    m: int,
+    intra_k: int,
+    dual: bool = False,
+) -> GraphState:
+    """write vectors → beam candidates → intra-chunk brute candidates →
+    select-neighbors → forward/reverse link commit. Works from the empty
+    graph too (beam yields nothing; intra-chunk candidates seed the graph).
+    """
+    C = rows.shape[0]
+    state = write_vectors(state, rows, enc, norms)
+    bd, bi = beam_search(state, enc, norms, metric=metric, ef=ef,
+                         dual=dual)
+    if intra_k > 0:
+        # partial intra-batch visibility (reference AddBatch phase 1 workers
+        # see each other's nodes, hnsw_index.go:1755-1844)
+        P = dist.pairwise(enc, enc, metric,
+                          corpus_norms=norms, query_norms=norms)
+        eye = jnp.arange(C)
+        P = jnp.where((eye[:, None] == eye[None, :])
+                      | (rows[None, :] < 0) | (rows[:, None] < 0),
+                      jnp.inf, P)
+        k_in = min(intra_k, C - 1)
+        nd, npos = jax.lax.top_k(-P, k_in)
+        ni = jnp.where(jnp.isinf(-nd), -1, rows[npos])
+        all_d = jnp.concatenate([bd, -nd], axis=1)
+        all_i = jnp.concatenate([bi, ni], axis=1)
+        order = jnp.argsort(all_d, axis=1)
+        all_d = jnp.take_along_axis(all_d, order, 1)
+        all_i = jnp.take_along_axis(all_i, order, 1)
+    else:
+        all_d, all_i = bd, bi
+    sel_i, sel_d = select_neighbors(state, all_d, all_i, m, metric)
+    return commit_chunk(state, rows, sel_i, sel_d, new_levels,
+                        metric=metric, m=m)
+
+
+# ---------------------------------------------------------------------------
 # upper-layer exact-KNN maintenance
 # ---------------------------------------------------------------------------
 
@@ -552,7 +636,7 @@ def refine_chunk(
     qn = state.norms[safe]
 
     bd, bi = beam_search(state, q, qn, metric=metric, ef=ef,
-                         exclude=rows, for_insert=True)
+                         exclude=rows, dual=True)
     cur = state.nbrs[safe]                                        # [C, M0]
     cur = jnp.where((rows[:, None] >= 0) & (cur != rows[:, None]), cur, -1)
     # drop deleted nodes from the candidate set (vacuum semantics,

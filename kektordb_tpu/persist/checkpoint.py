@@ -1,0 +1,95 @@
+"""Checkpoint store: atomic snapshots of dense arrays + host state.
+
+Reference analogue: the gob-encoded `.kdb` snapshot of the entire DB —
+HNSW adjacency, quantizer, arena slot tables, graph shards, KV
+(core.go:85-302, SaveSnapshot recovery.go:459-558). The TPU rebuild
+"collapses persistence to checkpointing dense vector/adjacency arrays"
+(SURVEY §5): device arrays go to one .npz, host state (ID maps, metadata,
+graph, KV) to msgpack. A `CURRENT` pointer file is swapped atomically after
+the checkpoint directory is fully written, so a crash mid-save leaves the
+previous checkpoint intact (the reference's tmp→rename dance).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import time
+from typing import Any, Optional
+
+import msgpack
+import numpy as np
+
+CURRENT = "CURRENT"
+
+
+def _pack_default(o):
+    if isinstance(o, (set, frozenset)):
+        return {"__set__": list(o)}
+    if isinstance(o, tuple):
+        return list(o)
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    raise TypeError(f"cannot pack {type(o)}")
+
+
+def _unpack_hook(o):
+    if "__set__" in o and len(o) == 1:
+        return set(o["__set__"])
+    return o
+
+
+def save(root: str, arrays: dict[str, np.ndarray], state: dict[str, Any]
+         ) -> str:
+    """Write a new checkpoint generation and swap CURRENT atomically."""
+    os.makedirs(root, exist_ok=True)
+    gen = f"ckpt-{int(time.time() * 1000):016d}"
+    tmp = os.path.join(root, gen + ".tmp")
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "arrays.npz"), "wb") as f:
+        np.savez(f, **arrays)
+    with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
+        f.write(msgpack.packb(state, default=_pack_default, use_bin_type=True))
+    final = os.path.join(root, gen)
+    os.replace(tmp, final)
+    # atomic CURRENT swap
+    cur_tmp = os.path.join(root, CURRENT + ".tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(gen)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(cur_tmp, os.path.join(root, CURRENT))
+    _gc(root, keep=2)
+    return final
+
+
+def load(root: str) -> Optional[tuple[dict[str, np.ndarray], dict[str, Any]]]:
+    cur = os.path.join(root, CURRENT)
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        gen = f.read().strip()
+    path = os.path.join(root, gen)
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        arrays = {k: z[k] for k in z.files}
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        state = msgpack.unpackb(f.read(), raw=False, strict_map_key=False,
+                                object_hook=_unpack_hook)
+    return arrays, state
+
+
+def _gc(root: str, keep: int) -> None:
+    """Drop all but the newest `keep` generations (never the CURRENT one)."""
+    try:
+        with open(os.path.join(root, CURRENT)) as f:
+            current = f.read().strip()
+    except FileNotFoundError:
+        return
+    gens = sorted(d for d in os.listdir(root)
+                  if d.startswith("ckpt-") and not d.endswith(".tmp"))
+    for d in gens[:-keep]:
+        if d != current:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)

@@ -1,0 +1,268 @@
+"""Engine-level tests: write-path durability, recovery, hybrid search, graph.
+
+Reference model: pkg/engine/engine_test.go:142-417 ("AOF-first survives
+restart" per op class; resync after corruption), ops/graph/pathfinding tests.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from kektordb_tpu.engine import Engine, EngineConfig
+from kektordb_tpu.engine.engine import AutoLinkRule
+
+
+def mk(tmp_path=None, **kw):
+    cfg = EngineConfig(data_dir=str(tmp_path) if tmp_path else None,
+                       start_background=False, **kw)
+    return Engine(cfg).open()
+
+
+def vecs(n, d, seed=0):
+    return np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+
+
+class TestIndexLifecycle:
+    def test_create_drop(self):
+        e = mk()
+        e.create_index("a")
+        assert e.list_indexes() == ["a"]
+        with pytest.raises(KeyError):
+            e.create_index("a")  # duplicate MUST error (api_contracts 409)
+        e.drop_index("a")
+        assert e.list_indexes() == []
+        with pytest.raises(KeyError):
+            e.drop_index("a")
+
+    def test_add_search_roundtrip(self):
+        e = mk()
+        e.create_index("idx")
+        X = vecs(50, 8)
+        e.add_batch("idx", [f"v{i}" for i in range(50)], X)
+        hits = e.search("idx", X[3], k=1)
+        assert hits[0][0]["id"] == "v3"
+
+    def test_metadata_filter(self):
+        e = mk()
+        e.create_index("idx")
+        X = vecs(60, 8)
+        metas = [{"color": "red" if i % 2 else "blue", "n": i}
+                 for i in range(60)]
+        e.add_batch("idx", [f"v{i}" for i in range(60)], X, metas)
+        hits = e.search("idx", X[0], k=5, filter="color = red")
+        assert all(int(h["id"][1:]) % 2 == 1 for h in hits[0])
+        hits = e.search("idx", X[0], k=5, filter="n >= 50")
+        assert all(int(h["id"][1:]) >= 50 for h in hits[0])
+        hits = e.search("idx", X[0], k=5,
+                        filter="n < 10 AND color = blue")
+        assert all(int(h["id"][1:]) < 10 and int(h["id"][1:]) % 2 == 0
+                   for h in hits[0])
+        # != includes missing field
+        e.add("idx", "nofield", X[0] * 0.5)
+        hits = e.search("idx", X[0], k=61, filter="color != red")
+        ids = {h["id"] for h in hits[0]}
+        assert "nofield" in ids
+
+    def test_hybrid_text_search(self):
+        e = mk()
+        e.create_index("idx")
+        X = vecs(20, 8, seed=2)
+        metas = []
+        for i in range(20):
+            metas.append({
+                "body": "the database engine stores vectors" if i < 10
+                else "cats and dogs are animals",
+                "_indexed_fields": ["body"]})
+        e.add_batch("idx", [f"d{i}" for i in range(20)], X, metas)
+        hits = e.search("idx", X[15], k=5, text_query="vector database",
+                        alpha=0.3)
+        assert hits[0], "expected hybrid hits"
+        top = hits[0][0]["id"]
+        assert int(top[1:]) < 10, f"BM25 should favor database docs, got {top}"
+
+    def test_decay_ranks_fresh_above_stale(self):
+        e = mk()
+        e.create_index("idx")
+        now = time.time()
+        X = vecs(2, 4, seed=3)
+        q = (X[0] + X[1]) / 2
+        e.add("idx", "stale", X[0],
+              {"_created_at": now - 90 * 24 * 3600})
+        e.add("idx", "fresh", X[1], {"_created_at": now})
+        e.configure_index("idx", {"memory": {
+            "enabled": True, "decay_half_life": 7 * 24 * 3600.0,
+            "decay_model": "exponential"}})
+        hits = e.search("idx", q, k=2)[0]
+        assert hits[0]["id"] == "fresh"
+        # pinned exemption
+        e.update_metadata("idx", "stale", {"_pinned": True})
+        hits = e.search("idx", q, k=2)[0]
+        assert {h["id"] for h in hits} == {"fresh", "stale"}
+
+
+class TestGraph:
+    def test_link_traverse_path(self):
+        e = mk()
+        e.create_index("g")
+        X = vecs(5, 4)
+        e.add_batch("g", list("abcde"), X)
+        e.link("g", "a", "knows", "b")
+        e.link("g", "b", "knows", "c")
+        e.link("g", "c", "works_at", "d")
+        assert [x["target"] for x in e.get_edges("g", "a")] == ["b"]
+        out = e.traverse("g", "a", "knows.knows.works_at")
+        assert [x["id"] for x in out] == ["d"]
+        assert e.find_path("g", "a", "d") == ["a", "b", "c", "d"]
+        assert e.find_path("g", "d", "a", relation="knows") is None
+
+    def test_time_travel(self):
+        e = mk()
+        e.create_index("g")
+        e.add_batch("g", ["x", "y"], vecs(2, 4))
+        t0 = time.time()
+        e.link("g", "x", "rel", "y", created_at=t0)
+        t1 = t0 + 10
+        e.unlink("g", "x", "rel", "y", deleted_at=t1)
+        assert e.get_edges("g", "x") == []                       # now: deleted
+        past = e.get_edges("g", "x", at_time=t0 + 5)
+        assert [x["target"] for x in past] == ["y"]              # time travel
+        before = e.get_edges("g", "x", at_time=t0 - 5)
+        assert before == []
+
+    def test_graph_restricted_search(self):
+        e = mk()
+        e.create_index("g")
+        X = vecs(30, 8, seed=4)
+        e.add_batch("g", [f"n{i}" for i in range(30)], X)
+        for i in range(1, 5):
+            e.link("g", "n0", "rel", f"n{i}")
+        hits = e.search("g", X[7], k=10, graph_root="n0", graph_depth=1)
+        ids = {h["id"] for h in hits[0]}
+        assert ids <= {f"n{i}" for i in range(5)}
+
+    def test_subgraph_and_evolve(self):
+        e = mk()
+        e.create_index("g")
+        X = vecs(6, 4, seed=5)
+        e.add_batch("g", list("abcdef"), X)
+        e.link("g", "a", "r", "b")
+        e.link("g", "b", "r", "c")
+        sub = e.extract_subgraph("g", "a", depth=2)
+        assert set(sub["nodes"]) >= {"a", "b", "c"}
+        e.link("g", "f", "mentions", "a")
+        e.evolve("g", "a", "a2", X[0] * 1.1)
+        assert e.get_edges("g", "a", relation="superseded_by")[0]["target"] == "a2"
+        # incoming edges copied to successor
+        inc = e.get_incoming_edges("g", "a2", relation="mentions")
+        assert [x["source"] for x in inc] == ["f"]
+        assert e.evolution_chain("g", "a2") == ["a2", "a"]
+
+    def test_auto_links(self):
+        e = mk()
+        e.create_index("g")
+        e.configure_index("g", {"auto_links": [
+            {"field": "topic", "relation": "same_topic"}]})
+        X = vecs(3, 4, seed=6)
+        e.add("g", "p1", X[0], {"topic": "jax"})
+        e.add("g", "p2", X[1], {"topic": "jax"})
+        targets = [x["target"] for x in
+                   e.get_edges("g", "p2", relation="same_topic")]
+        assert targets == ["p1"]
+
+
+class TestKV:
+    def test_kv_roundtrip(self):
+        e = mk()
+        e.kv_set("k1", b"v1")
+        e.kv_set("k2", "v2")
+        assert e.kv_get("k1") == b"v1"
+        assert e.kv_get("k2") == b"v2"
+        assert [k for k, _ in e.kv_scan("k")] == ["k1", "k2"]
+        assert e.kv_delete("k1")
+        assert e.kv_get("k1") is None
+
+
+class TestPersistence:
+    def test_aof_survives_restart(self, tmp_path):
+        """Every op class must survive a kill+reopen (engine_test.go:142)."""
+        e = mk(tmp_path)
+        e.create_index("idx", m=8)
+        X = vecs(40, 8, seed=7)
+        e.add_batch("idx", [f"v{i}" for i in range(40)], X,
+                    [{"tag": "t"} for _ in range(40)])
+        e.add("idx", "solo", X[0] * 0.9, {"tag": "solo"})
+        e.delete("idx", "v5")
+        e.update_metadata("idx", "v6", {"extra": 1})
+        e.kv_set("key", b"val")
+        e.link("idx", "v1", "rel", "v2")
+        e.link("idx", "v2", "rel", "v3")
+        e.unlink("idx", "v2", "rel", "v3")
+        # simulate crash: flush AOF but skip snapshot
+        e._aof.flush(fsync=True)
+        e._aof.close()
+
+        e2 = mk(tmp_path)
+        assert e2.kv_get("key") == b"val"
+        assert "idx" in e2.list_indexes()
+        hits = e2.search("idx", X[3], k=1)
+        assert hits[0][0]["id"] == "v3"
+        with pytest.raises(KeyError):
+            e2.get("idx", "v5")  # delete replayed
+        assert e2.get("idx", "v6")["metadata"]["extra"] == 1
+        assert [x["target"] for x in e2.get_edges("idx", "v1")] == ["v2"]
+        assert e2.get_edges("idx", "v2") == []
+        e2.close()
+
+    def test_snapshot_and_restart(self, tmp_path):
+        e = mk(tmp_path)
+        e.create_index("idx", m=8)
+        X = vecs(30, 8, seed=8)
+        e.add_batch("idx", [f"v{i}" for i in range(30)], X)
+        e.save_snapshot()
+        # post-snapshot writes go only to the (truncated) AOF
+        e.add("idx", "after", X[0] * 1.01)
+        e.close()
+
+        e2 = mk(tmp_path)
+        assert len(e2.indexes["idx"].index) == 31
+        hits = e2.search("idx", X[4], k=1)
+        assert hits[0][0]["id"] == "v4"
+        assert e2.search("idx", X[0] * 1.01, k=1)[0][0]["id"] == "after"
+        e2.close()
+
+    def test_corrupt_aof_resync(self, tmp_path):
+        """Byte-flip mid-AOF: later frames must still replay
+        (TestRecovery_ResyncAfterCorruption, engine_test.go:417)."""
+        e = mk(tmp_path)
+        e.create_index("idx", m=8)
+        e.kv_set("before", b"1")
+        e._aof.flush(fsync=True)
+        mid = e._aof.size()
+        e.kv_set("after", b"2")
+        e.add("idx", "v0", np.ones(4, np.float32))
+        e.close()
+
+        path = str(tmp_path / "journal.aof")
+        with open(path, "r+b") as f:
+            f.seek(max(mid - 7, 10))
+            f.write(b"\xff\xff\xff")
+
+        e2 = mk(tmp_path)
+        # frames after the corruption must be recovered by resync
+        assert e2.kv_get("after") == b"2"
+        assert e2.get("idx", "v0")
+        e2.close()
+
+    def test_vmeta_after_snapshot(self, tmp_path):
+        e = mk(tmp_path)
+        e.create_index("idx", m=8)
+        e.add("idx", "a", np.ones(4, np.float32), {"x": 1})
+        e.save_snapshot()
+        e.update_metadata("idx", "a", {"y": 2})
+        e._aof.flush(fsync=True)
+        e._aof.close()
+        e2 = mk(tmp_path)
+        assert e2.get("idx", "a")["metadata"]["y"] == 2
+        assert e2.get("idx", "a")["metadata"]["x"] == 1
+        e2.close()
