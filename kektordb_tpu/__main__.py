@@ -1,0 +1,63 @@
+"""CLI — `python -m kektordb_tpu`.
+
+Reference: cmd/kektordb/main.go:83-136 — flags (port, data dir, token, log
+level) and mode fork: HTTP server (default) | MCP stdio | setup.
+Env vars mirror the reference: KEKTOR_PORT, KEKTOR_DATA_DIR, KEKTOR_TOKEN
+(DOCUMENTATION.md:225-242).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="kektordb-tpu",
+        description="TPU-native vector database / temporal knowledge graph")
+    p.add_argument("mode", nargs="?", default="serve",
+                   choices=["serve", "mcp", "setup"],
+                   help="serve: HTTP REST (default); mcp: JSON-RPC stdio; "
+                        "setup: write agent MCP config")
+    p.add_argument("--port", type=int,
+                   default=int(os.environ.get("KEKTOR_PORT", 9091)))
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--data-dir",
+                   default=os.environ.get("KEKTOR_DATA_DIR") or None)
+    p.add_argument("--token", default=os.environ.get("KEKTOR_TOKEN") or None)
+    p.add_argument("--log-level", default="info",
+                   choices=["debug", "info", "warning", "error"])
+    p.add_argument("--agent", default="claude-code",
+                   help="setup mode: target agent")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper()),
+        format="%(asctime)s %(levelname)s %(name)s %(message)s")
+
+    if args.mode == "setup":
+        from .server.setup import write_agent_config
+        path = write_agent_config(args.agent)
+        print(f"wrote MCP config for {args.agent}: {path}")
+        return 0
+
+    from .engine import Engine, EngineConfig
+    engine = Engine(EngineConfig(data_dir=args.data_dir)).open()
+    try:
+        if args.mode == "mcp":
+            from .server.mcp import serve_stdio
+            serve_stdio(engine)
+        else:
+            from .server.http import run_server
+            run_server(engine, host=args.host, port=args.port,
+                       token=args.token)
+    finally:
+        engine.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

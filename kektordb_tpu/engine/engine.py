@@ -417,6 +417,9 @@ class Engine:
         q = np.atleast_2d(np.asarray(query, np.float32))
         B = q.shape[0]
         idx = h.index
+        if idx.dim and q.shape[-1] != idx.dim:
+            raise ValueError(
+                f"query dim {q.shape[-1]} != index dim {idx.dim}")
         if hasattr(idx, "flush"):
             idx.flush()
         universe = self._live_rows(h)

@@ -368,6 +368,18 @@ class HNSWIndex:
                              expand=self.config.expand)
         return np.asarray(d[:, :k]), np.asarray(i[:, :k])
 
+    def get_vector(self, ext_id: str) -> Optional[np.ndarray]:
+        """Stored vector for one id (normalized for cosine; dequantized for
+        int8 — matches the reference returning the arena bytes)."""
+        self.flush()
+        row = self.ids.get(ext_id)
+        if row is None:
+            return None
+        v = np.asarray(self.state.vectors[row])
+        if self.precision == dist.INT8:
+            v = v.astype(np.float32) * (float(self.quantizer.abs_max) / 127.0)
+        return v.astype(np.float32)
+
     def search_ids(self, queries: np.ndarray, k: int, **kw):
         """(ext_id, dist) per query (SearchWithScores, hnsw_index.go:327)."""
         d, rows = self.search(queries, k, **kw)

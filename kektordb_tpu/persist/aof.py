@@ -63,12 +63,25 @@ def read_frames(path: str,
                 on_corruption: Optional[Callable[[int], None]] = None
                 ) -> Iterator[tuple[int, bytes]]:
     """Frame-by-frame read with resync: on corruption, scan forward for the
-    next valid magic+CRC+parseable frame (resyncAOF, recovery.go:32-67)."""
+    next valid magic+CRC+parseable frame (resyncAOF, recovery.go:32-67).
+    Uses the C++ scanner (native/kektor_native.cpp kn_scan_frames) when
+    available so replay is IO-bound."""
     try:
         with open(path, "rb") as f:
             buf = f.read()
     except FileNotFoundError:
         return
+    try:
+        from ..native import available, scan_frames
+        if available():
+            frames, corrupt = scan_frames(buf)
+            if corrupt and on_corruption:
+                on_corruption(-1)
+            for off, ln, opcode in frames:
+                yield opcode, buf[off:off + ln]
+            return
+    except Exception:
+        pass  # fall through to the pure-Python scanner
     pos = 0
     n = len(buf)
     while pos < n:

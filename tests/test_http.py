@@ -1,0 +1,300 @@
+"""HTTP API contract tests against a live in-process server.
+
+Reference model: pkg/client/e2e_test.go (real server on a port, full
+lifecycle) + testdata/api_contracts.json status-code contracts — duplicate
+index → 409, duplicate id → 409, missing index → 404, self-link → 400,
+index delete → 204, healthz → {"status": "ok"}."""
+
+import asyncio
+import threading
+
+import numpy as np
+import pytest
+import requests
+
+from kektordb_tpu.engine import Engine, EngineConfig
+from kektordb_tpu.server import make_app
+
+
+class ServerFixture:
+    def __init__(self):
+        self.engine = Engine(EngineConfig(start_background=False)).open()
+        self.port = None
+        self._loop = asyncio.new_event_loop()
+        self._started = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        assert self._started.wait(15), "server failed to start"
+        self.base = f"http://127.0.0.1:{self.port}"
+
+    def _run(self):
+        from aiohttp import web
+        asyncio.set_event_loop(self._loop)
+
+        async def start():
+            app = make_app(self.engine)
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            self.port = site._server.sockets[0].getsockname()[1]
+            self._started.set()
+
+        self._loop.run_until_complete(start())
+        self._loop.run_forever()
+
+    def stop(self):
+        self._loop.call_soon_threadsafe(self._loop.stop)
+
+
+@pytest.fixture(scope="module")
+def srv():
+    s = ServerFixture()
+    yield s
+    s.stop()
+
+
+def test_healthz(srv):
+    r = requests.get(srv.base + "/healthz")
+    assert r.status_code == 200
+    assert r.json()["status"] == "ok"
+
+
+def test_index_lifecycle_contracts(srv):
+    body = {"index_name": "CT_IDX", "metric": "cosine",
+            "precision": "float32", "m": 8, "ef_construction": 50,
+            "text_language": "english"}
+    assert requests.post(srv.base + "/vector/actions/create",
+                         json=body).status_code == 200
+    # duplicate MUST 409
+    assert requests.post(srv.base + "/vector/actions/create",
+                         json=body).status_code == 409
+    r = requests.get(srv.base + "/vector/indexes")
+    assert r.status_code == 200
+    assert any(i["name"] == "CT_IDX" for i in r.json())
+    r = requests.get(srv.base + "/vector/indexes/CT_IDX")
+    assert r.status_code == 200
+    for f in ("name", "metric", "precision", "vector_count"):
+        assert f in r.json()
+
+    # vectors
+    add = {"index_name": "CT_IDX", "id": "v1",
+           "vector": [0.1, 0.2, 0.3, 0.4],
+           "metadata": {"content": "test memory", "type": "memory"}}
+    assert requests.post(srv.base + "/vector/actions/add",
+                         json=add).status_code == 200
+    assert requests.post(srv.base + "/vector/actions/add",
+                         json=add).status_code == 409   # duplicate id
+    batch = {"index_name": "CT_IDX", "vectors": [
+        {"id": "v2", "vector": [0.15, 0.25, 0.35, 0.45],
+         "metadata": {"content": "batch 1"}},
+        {"id": "v3", "vector": [0.2, 0.3, 0.4, 0.5]}]}
+    r = requests.post(srv.base + "/vector/actions/add-batch", json=batch)
+    assert r.status_code == 200 and r.json()["status"] == "ok"
+
+    r = requests.get(srv.base + "/vector/indexes/CT_IDX/vectors/v1")
+    assert r.status_code == 200
+    assert set(r.json()) >= {"id", "vector", "metadata"}
+    r = requests.post(srv.base + "/vector/actions/get-vectors",
+                      json={"index_name": "CT_IDX", "ids": ["v1", "v2"]})
+    assert r.status_code == 200 and len(r.json()) == 2
+
+    # search
+    r = requests.post(srv.base + "/vector/actions/search",
+                      json={"index_name": "CT_IDX",
+                            "query_vector": [0.1, 0.2, 0.3, 0.4], "k": 2})
+    assert r.status_code == 200
+    assert r.json()["ids"][0] == "v1"
+    r = requests.post(srv.base + "/vector/actions/search-with-scores",
+                      json={"index_name": "CT_IDX",
+                            "query_vector": [0.1, 0.2, 0.3, 0.4], "k": 2})
+    assert r.status_code == 200 and isinstance(r.json(), list)
+    # filter-only search
+    r = requests.post(srv.base + "/vector/actions/search",
+                      json={"index_name": "CT_IDX",
+                            "query_vector": [0.1, 0.2, 0.3, 0.4],
+                            "filter": "type = memory", "k": 5})
+    assert r.status_code == 200
+    assert r.json()["ids"] == ["v1"]
+
+    # delete index → 204, then missing → 404
+    assert requests.delete(
+        srv.base + "/vector/indexes/CT_IDX").status_code == 204
+    assert requests.get(
+        srv.base + "/vector/indexes/CT_IDX").status_code == 404
+
+
+def test_graph_contracts(srv):
+    requests.post(srv.base + "/vector/actions/create",
+                  json={"index_name": "CT_G", "metric": "euclidean"})
+    for i in range(4):
+        requests.post(srv.base + "/vector/actions/add",
+                      json={"index_name": "CT_G", "id": f"n{i}",
+                            "vector": [float(i), 0.0],
+                            "metadata": {"tag": "t"}})
+    link = {"index_name": "CT_G", "source_id": "n0", "target_id": "n1",
+            "relation_type": "knows", "inverse_relation_type": "known_by"}
+    assert requests.post(srv.base + "/graph/actions/link",
+                         json=link).status_code == 200
+    # self-link rejected 400
+    bad = dict(link, target_id="n0")
+    assert requests.post(srv.base + "/graph/actions/link",
+                         json=bad).status_code == 400
+    r = requests.post(srv.base + "/graph/actions/get-links",
+                      json={"index_name": "CT_G", "source_id": "n0",
+                            "relation_type": "knows"})
+    assert r.json()["links"] == ["n1"]
+    r = requests.post(srv.base + "/graph/actions/get-incoming",
+                      json={"index_name": "CT_G", "target_id": "n1"})
+    assert [e["source"] for e in r.json()["incoming"]] == ["n0"]
+    requests.post(srv.base + "/graph/actions/link",
+                  json={"index_name": "CT_G", "source_id": "n1",
+                        "target_id": "n2", "relation_type": "knows"})
+    r = requests.post(srv.base + "/graph/actions/find-path",
+                      json={"index_name": "CT_G", "source_id": "n0",
+                            "target_id": "n2"})
+    assert r.json()["path"] == ["n0", "n1", "n2"]
+    r = requests.post(srv.base + "/graph/actions/extract-subgraph",
+                      json={"index_name": "CT_G", "root_id": "n0",
+                            "max_depth": 2})
+    assert set(r.json()["nodes"]) >= {"n0", "n1", "n2"}
+    # node properties
+    assert requests.post(srv.base + "/graph/actions/set-node-properties",
+                         json={"index_name": "CT_G", "node_id": "n3",
+                               "properties": {"role": "hub"}}
+                         ).status_code == 200
+    r = requests.post(srv.base + "/graph/actions/get-node-properties",
+                      json={"index_name": "CT_G", "node_id": "n3"})
+    assert r.json()["properties"]["role"] == "hub"
+    r = requests.post(srv.base + "/graph/actions/search-nodes",
+                      json={"index_name": "CT_G",
+                            "property_filter": "role = hub", "limit": 10})
+    assert [n["id"] for n in r.json()["nodes"]] == ["n3"]
+    # unlink removes both directions
+    assert requests.post(srv.base + "/graph/actions/unlink",
+                         json=link).status_code == 200
+    r = requests.post(srv.base + "/graph/actions/get-links",
+                      json={"index_name": "CT_G", "source_id": "n0"})
+    assert r.json()["links"] == []
+
+
+def test_evolve_and_belief(srv):
+    requests.post(srv.base + "/vector/actions/create",
+                  json={"index_name": "CT_E", "metric": "cosine"})
+    requests.post(srv.base + "/vector/actions/add",
+                  json={"index_name": "CT_E", "id": "m1",
+                        "vector": [1.0, 0.0, 0.0],
+                        "metadata": {"content": "x", "keep": "yes"}})
+    r = requests.post(srv.base + "/vector/actions/evolve",
+                      json={"index_name": "CT_E", "old_id": "m1",
+                            "new_vector": [0.9, 0.1, 0.0],
+                            "new_content": "x improved",
+                            "reason": "update"})
+    assert r.status_code == 200
+    j = r.json()
+    assert j["status"] == "evolved"
+    new_id = j["new_id"]
+    r = requests.get(srv.base + f"/vector/indexes/CT_E/vectors/{new_id}")
+    assert r.json()["metadata"]["keep"] == "yes"     # metadata preserved
+    assert r.json()["metadata"]["content"] == "x improved"
+    r = requests.post(srv.base + "/vector/actions/belief-assessment",
+                      json={"index_name": "CT_E", "id": new_id})
+    assert r.status_code == 200
+    assert r.json()["state"] in ("crystallized", "contested", "volatile",
+                                 "forming")
+
+
+def test_kv_and_system(srv):
+    assert requests.post(srv.base + "/kv/ct_key",
+                         data=b"hello").status_code == 200
+    r = requests.get(srv.base + "/kv/ct_key")
+    assert r.content == b"hello"
+    assert requests.delete(srv.base + "/kv/ct_key").status_code == 200
+    assert requests.get(srv.base + "/kv/ct_key").status_code == 404
+    r = requests.get(srv.base + "/system/stats")
+    assert r.status_code == 200 and "indexes" in r.json()
+    r = requests.get(srv.base + "/metrics")
+    assert "kektordb_http_requests_total" in r.text
+    # reinforce + maintenance-style routes
+    r = requests.post(srv.base + "/vector/actions/reinforce",
+                      json={"index_name": "CT_E", "ids": ["m1"]})
+    assert r.status_code == 200 and r.json()["reinforced"] == 1
+    r = requests.post(srv.base + "/vector/indexes/CT_E/cognitive/think")
+    assert r.status_code == 202
+    r = requests.get(srv.base + "/vector/indexes/CT_E/reflections")
+    assert r.status_code == 200
+    # sessions
+    r = requests.post(srv.base + "/sessions", json={"user_id": "u1"})
+    sid = r.json()["session_id"]
+    assert requests.post(
+        srv.base + f"/sessions/{sid}/end").status_code == 200
+    assert requests.post(
+        srv.base + "/sessions/nope/end").status_code == 404
+
+
+def test_transfer_and_export(srv):
+    requests.post(srv.base + "/vector/actions/create",
+                  json={"index_name": "CT_SRC", "metric": "euclidean"})
+    vecs = [{"id": f"s{i}", "vector": [float(i), 1.0],
+             "metadata": {"grp": "a" if i < 3 else "b"}}
+            for i in range(6)]
+    requests.post(srv.base + "/vector/actions/add-batch",
+                  json={"index_name": "CT_SRC", "vectors": vecs})
+    r = requests.post(srv.base + "/transfer/memory",
+                      json={"source_index": "CT_SRC",
+                            "target_index": "CT_DST", "filter": "grp = a"})
+    assert r.status_code == 200 and r.json()["transferred"] == 3
+    r = requests.get(srv.base + "/vector/indexes/CT_DST/export?limit=10")
+    assert r.status_code == 200
+    assert {v["id"] for v in r.json()["vectors"]} == {"s0", "s1", "s2"}
+
+
+def test_auth_enabled_server():
+    eng = Engine(EngineConfig(start_background=False)).open()
+    import asyncio as aio
+    from aiohttp import web
+
+    loop = aio.new_event_loop()
+    started = threading.Event()
+    holder = {}
+
+    def run():
+        aio.set_event_loop(loop)
+
+        async def start():
+            app = make_app(eng, token="root-secret")
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            holder["port"] = site._server.sockets[0].getsockname()[1]
+            started.set()
+
+        loop.run_until_complete(start())
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(15)
+    base = f"http://127.0.0.1:{holder['port']}"
+    try:
+        # no token → 401 (health stays open)
+        assert requests.get(base + "/healthz").status_code == 200
+        assert requests.get(base + "/system/stats").status_code == 401
+        root = {"Authorization": "Bearer root-secret"}
+        assert requests.get(base + "/system/stats",
+                            headers=root).status_code == 200
+        # mint a read-only key, verify RBAC
+        r = requests.post(base + "/auth/keys", headers=root,
+                          json={"role": "read", "name": "ro"})
+        ro = {"Authorization": "Bearer " + r.json()["token"]}
+        assert requests.get(base + "/vector/indexes",
+                            headers=ro).status_code == 200
+        assert requests.post(base + "/vector/actions/create", headers=ro,
+                             json={"index_name": "X"}).status_code == 403
+        # revoke → 401
+        requests.delete(base + "/auth/keys/" + r.json()["id"], headers=root)
+        assert requests.get(base + "/vector/indexes",
+                            headers=ro).status_code == 401
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
