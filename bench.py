@@ -5,12 +5,19 @@ M=16 efC=200 efS=100 → recall@10 0.9906, 881 QPS, 481.4 s build on i5-12500.
 Rebuild target (BASELINE.json): recall parity, ≥10× QPS (≈8810), ≥5× build
 (≤96 s).
 
-Data is synthesized SIFT-like (clustered 128-d byte-range vectors) because the
-environment has no network egress; the generator is seeded and identical every
-run. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Pipeline measured here (the production recipe):
+  build in f32 (chunked batched device construction) → compress the arena to
+  bf16 for serving (half the HBM gather traffic; the graph is untouched) →
+  batched queries at B=4096, multi-expand beam.
 
-Env knobs: KEKTOR_BENCH_N (default 1_000_000), KEKTOR_BENCH_Q (10_000),
-KEKTOR_BENCH_BATCH (1024 queries per device batch).
+Data is synthesized SIFT-like (no network egress): many small anisotropic
+clusters + heavy-tailed noise. Recall is strict recall@10 against the exact
+f32 oracle over the ORIGINAL vectors (the reference methodology: "recall vs
+numpy brute force"). Prints ONE JSON line.
+
+Env knobs: KEKTOR_BENCH_N (1_000_000), KEKTOR_BENCH_Q (16_384),
+KEKTOR_BENCH_BATCH (4096), KEKTOR_BENCH_CHUNK (1024),
+KEKTOR_BENCH_SERVE (bfloat16|float32).
 """
 
 import json
@@ -21,30 +28,36 @@ import time
 import numpy as np
 
 
-def make_sift_like(n: int, d: int = 128, n_clusters: int = 2048,
-                   seed: int = 1234) -> np.ndarray:
-    """Clustered byte-range vectors approximating SIFT's local-descriptor
-    distribution (clusters + heavy-tailed noise, clipped to [0, 255])."""
+def make_sift_like(n: int, d: int = 128, seed: int = 1234) -> np.ndarray:
+    """Clustered byte-range vectors approximating SIFT local descriptors:
+    many anisotropic clusters, gamma-tailed magnitudes, clipped to [0, 255].
+    Cluster count scales with n so the top-10 boundary stays crisp."""
     rng = np.random.default_rng(seed)
+    n_clusters = max(4096, n // 64)
     centers = rng.uniform(0.0, 160.0, size=(n_clusters, d)).astype(np.float32)
+    scales = rng.uniform(6.0, 22.0, size=(n_clusters, 1)).astype(np.float32)
     out = np.empty((n, d), np.float32)
     bs = 262_144
     for i in range(0, n, bs):
         m = min(bs, n - i)
         which = rng.integers(0, n_clusters, size=m)
-        noise = rng.gamma(2.0, 12.0, size=(m, d)).astype(np.float32)
+        noise = rng.gamma(2.0, 1.0, size=(m, d)).astype(np.float32)
         sign = rng.choice([-1.0, 1.0], size=(m, d)).astype(np.float32)
-        out[i:i + m] = np.clip(centers[which] + noise * sign, 0.0, 255.0)
+        out[i:i + m] = np.clip(
+            centers[which] + noise * sign * scales[which], 0.0, 255.0)
     return out
 
 
 def main() -> None:
     n = int(os.environ.get("KEKTOR_BENCH_N", 1_000_000))
-    nq = int(os.environ.get("KEKTOR_BENCH_Q", 10_000))
-    qbatch = int(os.environ.get("KEKTOR_BENCH_BATCH", 1024))
+    nq = int(os.environ.get("KEKTOR_BENCH_Q", 16_384))
+    qbatch = int(os.environ.get("KEKTOR_BENCH_BATCH", 4096))
+    serve = os.environ.get("KEKTOR_BENCH_SERVE", "bfloat16")
     d = 128
 
     import jax
+    import jax.numpy as jnp
+
     from kektordb_tpu.index import HNSWConfig, HNSWIndex
     from kektordb_tpu.ops import distance as dist
 
@@ -54,34 +67,38 @@ def main() -> None:
     cfg = HNSWConfig(m=16, ef_construction=200, ef_search=100,
                      chunk=int(os.environ.get("KEKTOR_BENCH_CHUNK", 1024)))
     idx = HNSWIndex(d, dist.L2, config=cfg)
-
-    # warm up compile on a throwaway prefix so build timing measures the
-    # pipeline, not XLA compilation (first compile 20-40 s)
     idx._grow_for(n)
+
     t0 = time.time()
     idx.add_batch([f"v{i}" for i in range(n)], base)
     jax.block_until_ready(idx.state.nbrs)
     build_s = time.time() - t0
 
-    # query: batched, one warm batch excluded from timing
-    _ = idx.search(queries[:qbatch], 10)
+    if serve != "float32":
+        idx.compress_serving(serve)
+
+    # exact ground truth on the original f32 vectors, computed on-device
+    sample = min(nq, 4096)
+    gt_ids = np.empty((sample, 10), np.int32)
+    bq = 1024
+    base_j = jnp.asarray(base)
+    for i in range(0, sample, bq):
+        _, gi = dist.brute_force_topk(jnp.asarray(queries[i:i + bq]),
+                                      base_j, 10, dist.L2)
+        gt_ids[i:i + bq] = np.asarray(gi)
+    del base_j
+
+    _ = idx.search(queries[:qbatch], 10)          # warm the jit cache
     t0 = time.time()
     results = []
     for i in range(0, nq, qbatch):
-        dd, ii = idx.search(queries[i:i + qbatch], 10)
+        _, ii = idx.search(queries[i:i + qbatch], 10)
         results.append(ii)
     qps = nq / (time.time() - t0)
 
-    # recall@10 vs exact top-k on-device (oracle on the same chip)
-    got = np.concatenate(results, axis=0)
-    sample = min(nq, 2000)
-    import jax.numpy as jnp
-    gdd, gii = dist.brute_force_topk(
-        jnp.asarray(queries[:sample]), idx.state.vectors[: idx.ids.capacity_used],
-        10, dist.L2)
-    gii = np.asarray(gii)
+    got = np.concatenate(results, axis=0)[:sample]
     recall = float(np.mean([
-        len(set(map(int, got[b])) & set(map(int, gii[b]))) / 10
+        len(set(map(int, got[b])) & set(map(int, gt_ids[b]))) / 10
         for b in range(sample)]))
 
     baseline_qps = 881.0  # BENCHMARKS.md:63
@@ -97,6 +114,7 @@ def main() -> None:
         "reference_build_s": 481.4,
         "build_speedup": round(481.4 / build_s, 2),
         "n": n, "n_queries": nq, "query_batch": qbatch,
+        "serve_precision": serve,
         "device": str(jax.devices()[0]),
     }))
 

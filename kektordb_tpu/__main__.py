@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     p.add_argument("--token", default=os.environ.get("KEKTOR_TOKEN") or None)
     p.add_argument("--log-level", default="info",
                    choices=["debug", "info", "warning", "error"])
+    p.add_argument("--config", default=os.environ.get("KEKTOR_CONFIG"),
+                   help="YAML config (embedder/llm/gardener/vectorizers/proxy)")
     p.add_argument("--agent", default="claude-code",
                    help="setup mode: target agent")
     args = p.parse_args(argv)
@@ -45,15 +47,23 @@ def main(argv=None) -> int:
         return 0
 
     from .engine import Engine, EngineConfig
+    from .server.config import build_services, load_config
     engine = Engine(EngineConfig(data_dir=args.data_dir)).open()
+    cfg = load_config(args.config)
+    svcs = build_services(engine, cfg)
     try:
         if args.mode == "mcp":
             from .server.mcp import serve_stdio
-            serve_stdio(engine)
+            serve_stdio(engine, embedder=svcs["embedder"],
+                        compiler=svcs["compiler"],
+                        gardener=svcs["gardener"])
         else:
             from .server.http import run_server
             run_server(engine, host=args.host, port=args.port,
-                       token=args.token)
+                       token=args.token, embedder=svcs["embedder"],
+                       gardener=svcs["gardener"],
+                       compiler=svcs["compiler"], rag=svcs["rag"],
+                       vectorizers=svcs["vectorizers"])
     finally:
         engine.close()
     return 0

@@ -37,7 +37,7 @@ class HNSWConfig:
     refine_ef: int = 0               # 0 → ef_construction
     refine_batch: int = 512          # optimizer.go default 500
     intra_k: int = 16                # intra-chunk brute-force candidates
-    expand: int = 4                  # beam width expanded per lockstep iter
+    expand: int = 8                  # beam width expanded per lockstep iter
     vacuum_deleted_ratio: float = 0.10   # optimizer.go:49-126 default
     fast_ef: int = 40                # AddBatchFast floor (hnsw_index.go:1461-1467)
 
@@ -107,7 +107,8 @@ class HNSWIndex:
         if self.precision == dist.INT8:
             self._ensure_quantizer(v)
             return quant.quantize(self.quantizer, v)
-        enc = v.astype(dist.storage_dtype(self.precision))
+        # cast to the live arena dtype (compress_serving may have narrowed it)
+        enc = v.astype(self.state.vectors.dtype)
         return enc, jnp.zeros((v.shape[0],), jnp.float32)
 
     # -- capacity ----------------------------------------------------------
@@ -193,7 +194,8 @@ class HNSWIndex:
         st = K.insert_chunk(self.state, jnp.asarray(rows), enc, norms,
                             jnp.asarray(levels), metric=self.metric, ef=ef,
                             m=self.config.m, intra_k=self.config.intra_k,
-                            dual=bool(self._deleted_rows))
+                            dual=bool(self._deleted_rows),
+                            expand=self.config.expand)
 
         # upper-level registration for new nodes with level >= 1
         ups = [(int(r), int(l)) for r, l in zip(rows, levels) if l >= 1 and r >= 0]
@@ -367,6 +369,22 @@ class HNSWIndex:
                              ef=ef, allow=allow, dual=dual,
                              expand=self.config.expand)
         return np.asarray(d[:, :k]), np.asarray(i[:, :k])
+
+    def compress_serving(self, dtype: str = "bfloat16") -> None:
+        """Narrow the stored vectors for serving after a bulk build.
+
+        Build quality wants f32 distances; query throughput wants narrow
+        gathers (HBM-bandwidth-bound, SURVEY §7.4). This is the dense-array
+        analogue of the reference's post-hoc Compress (core.go:1095): the
+        graph is kept, only the arena dtype changes. Subsequent streaming
+        inserts encode straight into the narrowed arena.
+        """
+        self.flush()
+        if self.precision != dist.F32:
+            raise ValueError("compress_serving applies to float32 indexes")
+        target = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+        self.state = self.state._replace(
+            vectors=self.state.vectors.astype(target))
 
     def get_vector(self, ext_id: str) -> Optional[np.ndarray]:
         """Stored vector for one id (normalized for cosine; dequantized for

@@ -202,7 +202,7 @@ def beam_search(
     """
     B, _ = q.shape
     M0 = state.nbrs.shape[1]
-    E = expand
+    E = max(1, min(expand, ef))   # cannot pop more than the pool width
     C = E * M0
     if max_iters <= 0:
         max_iters = (2 * ef) // E + 24
@@ -490,7 +490,8 @@ def commit_chunk(
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("metric", "ef", "m", "intra_k", "dual"))
+                   static_argnames=("metric", "ef", "m", "intra_k", "dual",
+                                    "expand"))
 def insert_chunk(
     state: GraphState,
     rows: jax.Array,         # [C] int32, -1 padded
@@ -503,6 +504,7 @@ def insert_chunk(
     m: int,
     intra_k: int,
     dual: bool = False,
+    expand: int = 8,
 ) -> GraphState:
     """write vectors → beam candidates → intra-chunk brute candidates →
     select-neighbors → forward/reverse link commit. Works from the empty
@@ -511,7 +513,7 @@ def insert_chunk(
     C = rows.shape[0]
     state = write_vectors(state, rows, enc, norms)
     bd, bi = beam_search(state, enc, norms, metric=metric, ef=ef,
-                         dual=dual)
+                         dual=dual, expand=expand)
     if intra_k > 0:
         # partial intra-batch visibility (reference AddBatch phase 1 workers
         # see each other's nodes, hnsw_index.go:1755-1844)

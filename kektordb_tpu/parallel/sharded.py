@@ -110,9 +110,10 @@ class ShardedHNSW:
         ef = max(ef or self.shards[0].config.ef_search, k)
         q, qn = self.shards[0]._encode(queries)
         stacked = _stack_states([s.state for s in self.shards])
+        dual = any(s._deleted_rows for s in self.shards)
         d, sh, rows = _sharded_search(
             self.mesh, self.axis, stacked, q, qn,
-            metric=self.metric, ef=ef, k=k)
+            metric=self.metric, ef=ef, k=k, dual=dual)
         return np.asarray(d), np.asarray(sh), np.asarray(rows)
 
     def search_ids(self, queries: np.ndarray, k: int, **kw):
@@ -132,12 +133,12 @@ class ShardedHNSW:
 
 def _sharded_search(mesh: Mesh, axis: str, stacked: K.GraphState,
                     q: jax.Array, qn: jax.Array, *, metric: str,
-                    ef: int, k: int):
+                    ef: int, k: int, dual: bool = False):
     """shard_map body: local beam search → all_gather → global top-k merge."""
 
     def body(state_blk: K.GraphState, q, qn):
         state = jax.tree.map(lambda x: x[0], state_blk)
-        d, i = K.beam_search(state, q, qn, metric=metric, ef=ef)
+        d, i = K.beam_search(state, q, qn, metric=metric, ef=ef, dual=dual)
         sid = jax.lax.axis_index(axis)
         d_all = jax.lax.all_gather(d[:, :k], axis)          # [S, B, k]
         i_all = jax.lax.all_gather(i[:, :k], axis)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 import time
 import uuid
 from typing import Any, Optional
@@ -926,6 +927,43 @@ def make_app(engine: Engine, *,
     r.add_get("/compile/templates", compile_templates)
     r.add_get("/artifacts", artifacts_list)
     r.add_get("/artifact/{template}", artifact_get)
+
+    # -- web UI (reference embeds a vanilla-JS dashboard, ui/fs.go) ---------
+    ui_dir = os.path.join(os.path.dirname(__file__), "ui")
+
+    async def ui_index(request):
+        return web.FileResponse(os.path.join(ui_dir, "index.html"))
+
+    async def ui_explore(request):
+        """POST /ui/explore — search helper for the dashboard."""
+        b = await body_of(request)
+        return await vector_search(request)
+
+    r.add_get("/ui", ui_index)
+    r.add_get("/ui/", ui_index)
+    r.add_post("/ui/explore", ui_explore)
+    if os.path.isdir(ui_dir):
+        r.add_static("/ui/static", ui_dir)
+
+    # -- profiling (reference exposes pprof; here: jax.profiler traces) -----
+    async def debug_profile(request):
+        seconds = float(request.query.get("seconds", 3))
+        import tempfile
+
+        import jax
+        tmp = tempfile.mkdtemp(prefix="kektor-trace-")
+
+        def run():
+            jax.profiler.start_trace(tmp)
+            time.sleep(min(seconds, 30))
+            jax.profiler.stop_trace()
+            return {"trace_dir": tmp}
+
+        t = tasks.submit("profile", run)
+        return _json({"status": "started", "task_id": t.id,
+                      "trace_dir": tmp}, 202)
+
+    r.add_post("/debug/profile", debug_profile)
 
     return app
 

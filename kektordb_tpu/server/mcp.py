@@ -592,11 +592,25 @@ def handle_rpc(svc: MCPService, req: dict) -> Optional[dict]:
         if method == "initialize":
             result = {
                 "protocolVersion": "2024-11-05",
-                "capabilities": {"tools": {}},
+                "capabilities": {"tools": {}, "prompts": {}},
                 "serverInfo": {"name": "kektordb-tpu",
                                "version": "0.1.0"}}
         elif method == "tools/list":
             result = {"tools": svc.list_tools()}
+        elif method == "prompts/list":
+            result = {"prompts": [{
+                "name": "memory_instructions",
+                "description": "How to use KektorDB memory tools "
+                               "effectively"}]}
+        elif method == "prompts/get":
+            import os
+            path = os.path.join(os.path.dirname(__file__),
+                                "memory_instructions.md")
+            with open(path) as f:
+                text = f.read()
+            result = {"description": "KektorDB memory instructions",
+                      "messages": [{"role": "user", "content": {
+                          "type": "text", "text": text}}]}
         elif method == "tools/call":
             params = req.get("params") or {}
             out = svc.call(params.get("name", ""),

@@ -327,11 +327,18 @@ class KnowledgeCompiler:
     # ----------------------------------------------------------- watcher
 
     def _on_event(self, ev) -> None:
-        """Staleness scoring on writes (watcher.go:66-390)."""
+        """Staleness scoring on writes; crossing the threshold triggers an
+        auto-recompile (watcher.go:66-390)."""
         for art in self.list_artifacts(ev.index or None):
             if ev.node_id and ev.node_id == art["entity_id"]:
                 key = self._artifact_key(art["template"], art["entity_id"])
                 self._stale[key] = self._stale.get(key, 0.0) + 0.25
+                if self._stale[key] >= STALE_THRESHOLD:
+                    try:
+                        self.recompile(art["template"], art["entity_id"],
+                                       art["index"])
+                    except Exception:
+                        log.exception("auto-recompile failed for %s", key)
 
     def staleness(self, template: str, entity_id: str,
                   index: Optional[str] = None) -> dict:
