@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     engine = Engine(EngineConfig(data_dir=args.data_dir)).open()
     cfg = load_config(args.config)
     svcs = build_services(engine, cfg)
+    from .services.background import ServiceLoop
+    loop = ServiceLoop(engine, gardener=svcs["gardener"],
+                       vectorizers=svcs["vectorizers"],
+                       compiler=svcs["compiler"],
+                       gateway=svcs["gateway"]).start()
     try:
         if args.mode == "mcp":
             from .server.mcp import serve_stdio
@@ -65,6 +70,7 @@ def main(argv=None) -> int:
                        compiler=svcs["compiler"], rag=svcs["rag"],
                        vectorizers=svcs["vectorizers"])
     finally:
+        loop.stop()
         engine.close()
     return 0
 

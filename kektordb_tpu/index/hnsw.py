@@ -365,10 +365,21 @@ class HNSWIndex:
                 allow = allow.at[jnp.asarray(a.astype(np.int32))].set(
                     True, mode="drop")
         dual = allow is not None or bool(self._deleted_rows)
+        # pad the batch to a power of two so varying request sizes reuse the
+        # same compiled beam program (serving stability; batcher coalesces
+        # arbitrary batch sizes)
+        Bp = 8
+        while Bp < B:
+            Bp *= 2
+        if Bp != B:
+            q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]),
+                                              q.dtype)])
+            if qn is not None:
+                qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), qn.dtype)])
         d, i = K.beam_search(self.state, q, qn, metric=self.metric,
                              ef=ef, allow=allow, dual=dual,
                              expand=self.config.expand)
-        return np.asarray(d[:, :k]), np.asarray(i[:, :k])
+        return np.asarray(d[:B, :k]), np.asarray(i[:B, :k])
 
     def compress_serving(self, dtype: str = "bfloat16") -> None:
         """Narrow the stored vectors for serving after a bulk build.

@@ -1,0 +1,85 @@
+"""Query micro-batcher — aggregates concurrent searches into device batches.
+
+SURVEY §7.4: "the API layer must batch/queue queries into device-sized
+batches (the 10× QPS win comes from batching, not per-query latency)". The
+reference gets QPS only from HTTP concurrency across Go threads; here
+concurrent plain vector searches against the same index coalesce into one
+lockstep beam program.
+
+Only homogeneous requests batch together (same index/k/ef, no filter, no
+text query, no graph restriction) — anything else falls through to the
+direct path.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+log = logging.getLogger("kektordb.batcher")
+
+
+@dataclass
+class _Pending:
+    queries: list[np.ndarray] = field(default_factory=list)
+    futures: list[asyncio.Future] = field(default_factory=list)
+    timer: Optional[asyncio.TimerHandle] = None
+
+
+class QueryBatcher:
+    def __init__(self, engine, *, window_ms: float = 3.0,
+                 max_batch: int = 4096):
+        self.engine = engine
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._pending: dict[tuple, _Pending] = {}
+        self.stats = {"batches": 0, "queries": 0, "max_batch_seen": 0}
+
+    async def search(self, index: str, query: np.ndarray, k: int,
+                     ef: Optional[int],
+                     include_metadata: bool) -> list[dict[str, Any]]:
+        key = (index, k, ef, include_metadata)
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        p = self._pending.get(key)
+        if p is None:
+            p = self._pending[key] = _Pending()
+            p.timer = loop.call_later(self.window, self._flush_sync, key)
+        p.queries.append(np.asarray(query, np.float32).reshape(-1))
+        p.futures.append(fut)
+        if len(p.queries) >= self.max_batch:
+            if p.timer:
+                p.timer.cancel()
+            self._flush_sync(key)
+        return await fut
+
+    def _flush_sync(self, key: tuple) -> None:
+        p = self._pending.pop(key, None)
+        if p is None or not p.queries:
+            return
+        asyncio.ensure_future(self._run(key, p))
+
+    async def _run(self, key: tuple, p: _Pending) -> None:
+        index, k, ef, include_metadata = key
+        q = np.stack(p.queries)
+        self.stats["batches"] += 1
+        self.stats["queries"] += len(p.queries)
+        self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                           len(p.queries))
+        try:
+            results = await asyncio.to_thread(
+                lambda: self.engine.search(
+                    index, q, k=k, ef=ef,
+                    include_metadata=include_metadata))
+        except Exception as e:  # noqa: BLE001 — fan the error out
+            for f in p.futures:
+                if not f.done():
+                    f.set_exception(e)
+            return
+        for f, hits in zip(p.futures, results):
+            if not f.done():
+                f.set_result(hits)

@@ -62,6 +62,8 @@ def make_app(engine: Engine, *,
     tasks = TaskManager()
     auth_svc = authlib.AuthService(engine.kv) if token else None
     sessions: dict[str, dict] = {}
+    from .batcher import QueryBatcher
+    batcher = QueryBatcher(engine)
 
     # ------------------------------------------------------------ middleware
 
@@ -397,6 +399,17 @@ def make_app(engine: Engine, *,
         if qv is None:
             raise ValueError("query_vector or query_text required")
         gf = b.get("graph_filter") or {}
+        plain = not (b.get("filter") or b.get("text_query") or gf
+                     or b.get("hydrate_relations")
+                     or b.get("include_relations"))
+        if plain:
+            # homogeneous fast path: coalesce concurrent requests into one
+            # device batch (server/batcher.py)
+            res = await batcher.search(
+                name, np.asarray(qv, np.float32), int(b.get("k", 10)),
+                b.get("ef_search") or None, bool(b.get("hydrate")))
+            return _json({"results": hits_to_results(res),
+                          "ids": [h["id"] for h in res]})
         hits = await asyncio.to_thread(
             lambda: engine.search(
                 name, np.asarray(qv, np.float32), k=int(b.get("k", 10)),
@@ -964,6 +977,30 @@ def make_app(engine: Engine, *,
                       "trace_dir": tmp}, 202)
 
     r.add_post("/debug/profile", debug_profile)
+
+    # -- OpenAPI (reference embeds swagger in the web UI) --------------------
+    async def openapi(request):
+        paths: dict[str, dict] = {}
+        for route in app.router.routes():
+            info = route.resource.get_info() if route.resource else {}
+            path = info.get("path") or info.get("formatter")
+            if not path or path.startswith("/ui/static"):
+                continue
+            method = route.method.lower()
+            if method in ("head", "options", "*"):
+                continue
+            doc = (route.handler.__doc__ or "").strip().split("\n")[0]
+            paths.setdefault(path, {})[method] = {
+                "summary": doc or route.handler.__name__,
+                "responses": {"200": {"description": "OK"}},
+            }
+        return _json({
+            "openapi": "3.0.0",
+            "info": {"title": "KektorDB-TPU", "version": "0.1.0"},
+            "paths": paths,
+        })
+
+    r.add_get("/openapi.json", openapi)
 
     return app
 

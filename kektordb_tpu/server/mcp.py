@@ -342,13 +342,46 @@ class MCPService:
                                   "started": time.time(), "memories": []}
             return {"session_id": sid}
 
-        @t("end_session", "End a session, consolidating its memories",
-           {"session_id": S, "index": S})
+        @t("end_session", "End a session, consolidating its memories into "
+           "a pinned summary node", {"session_id": S, "index": S})
         def end_session(a):
+            """Session summarization on close (gardener.go:1563):
+            deterministic extractive summary (LLM-refined when available)
+            stored as a pinned node linked to the session memories."""
             s = self.sessions.pop(a["session_id"], None)
             if s is None:
                 raise KeyError(f"no such session: {a['session_id']}")
-            return {"status": "ended", "memories": len(s["memories"])}
+            summary_id = None
+            if s["memories"]:
+                name = idx(a)
+                contents = []
+                for mid in s["memories"][:20]:
+                    try:
+                        m = e.get(name, mid)["metadata"]
+                        if m.get("content"):
+                            contents.append(str(m["content"]))
+                    except KeyError:
+                        pass
+                if contents:
+                    text = "Session summary: " + " • ".join(
+                        c[:150] for c in contents)[:1500]
+                    if self.gardener is not None and \
+                            self.gardener.llm is not None:
+                        refined = self.gardener._llm_consolidate(contents)
+                        if refined:
+                            text = f"Session summary: {refined}"
+                    summary_id = f"sess_sum_{a['session_id'][-8:]}"
+                    e.add(name, summary_id, embed(text),
+                          {"content": text, "type": "session_summary",
+                           "session_id": a["session_id"], "_pinned": True,
+                           "_indexed_fields": ["content"]})
+                    for mid in s["memories"][:20]:
+                        try:
+                            e.link(name, summary_id, "summarizes", mid)
+                        except KeyError:
+                            pass
+            return {"status": "ended", "memories": len(s["memories"]),
+                    "summary_id": summary_id}
 
         @t("list_sessions", "List active sessions", {})
         def list_sessions(a):
