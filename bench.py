@@ -80,6 +80,16 @@ def main() -> None:
     jax.block_until_ready(idx.state.nbrs)
     build_s = time.time() - t0
 
+    # BFS layout helps CPU-cache backends; measured neutral on TPU HBM
+    # gathers, so it is opt-in here
+    if os.environ.get("KEKTOR_BENCH_LAYOUT", "0") != "0":
+        t0 = time.time()
+        idx.optimize_layout()      # BFS row reordering for gather locality
+        jax.block_until_ready(idx.state.nbrs)
+        layout_s = time.time() - t0
+    else:
+        layout_s = 0.0
+
     if serve != "float32":
         idx.compress_serving(serve)
 
@@ -161,6 +171,7 @@ def main() -> None:
         "recall_at_10_eps1e3": round(eps_recall, 4),
         "reference_recall_at_10": 0.9906,
         "build_s": round(build_s, 1),
+        "layout_s": round(layout_s, 1),
         "reference_build_s": 481.4,
         "build_speedup": round(481.4 / build_s, 2),
         "n": n, "n_queries": nq, "query_batch": qbatch,

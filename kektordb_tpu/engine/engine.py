@@ -456,7 +456,12 @@ class Engine:
                 allow_arr = np.zeros(_cap_of(idx), bool)
                 rows = [r for r in allow if r < allow_arr.size]
                 allow_arr[rows] = True
-            d, rows_out = idx.search(q, fetch, ef=ef, allow_rows=allow_arr)
+            # the engine lock serializes against writers: insert kernels
+            # donate the state buffers, so a search must not capture a
+            # state that a concurrent insert is about to invalidate
+            with self._lock:
+                d, rows_out = idx.search(q, fetch, ef=ef,
+                                         allow_rows=allow_arr)
             for b in range(B):
                 for j in range(rows_out.shape[1]):
                     r = int(rows_out[b, j])

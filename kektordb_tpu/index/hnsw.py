@@ -77,6 +77,7 @@ class HNSWIndex:
             mu=self.config.m, ucap=self._ucap)
 
         # host mirrors
+        self._serve_quantized = False
         self._max_level = 0
         self._deleted_rows: set[int] = set()
         self._up_free: list[int] = []
@@ -104,7 +105,7 @@ class HNSWIndex:
         v = jnp.asarray(vectors, jnp.float32)
         if self.metric == dist.COSINE:
             v = dist.normalize(v)
-        if self.precision == dist.INT8:
+        if self.precision == dist.INT8 or self._serve_quantized:
             self._ensure_quantizer(v)
             return quant.quantize(self.quantizer, v)
         # cast to the live arena dtype (compress_serving may have narrowed it)
@@ -379,7 +380,12 @@ class HNSWIndex:
         d, i = K.beam_search(self.state, q, qn, metric=self.metric,
                              ef=ef, allow=allow, dual=dual,
                              expand=self.config.expand)
-        return np.asarray(d[:B, :k]), np.asarray(i[:B, :k])
+        d_np = np.asarray(d[:B, :k])
+        if self._serve_quantized:
+            # distances were computed in the quantized domain; rescale back
+            quantum = float(self.quantizer.abs_max) / 127.0
+            d_np = d_np * (quantum * quantum)
+        return d_np, np.asarray(i[:B, :k])
 
     def compress_serving(self, dtype: str = "bfloat16") -> None:
         """Narrow the stored vectors for serving after a bulk build.
@@ -389,13 +395,100 @@ class HNSWIndex:
         analogue of the reference's post-hoc Compress (core.go:1095): the
         graph is kept, only the arena dtype changes. Subsequent streaming
         inserts encode straight into the narrowed arena.
+
+        "int8" additionally trains the symmetric quantizer on the stored
+        rows and keeps int-domain norms; distances stay monotonic (scaled
+        by scale^2) and are rescaled back in search().
         """
         self.flush()
         if self.precision != dist.F32:
             raise ValueError("compress_serving applies to float32 indexes")
+        if dtype == "int8":
+            used = self.ids.capacity_used
+            v32 = self.state.vectors[:max(used, 1)].astype(jnp.float32)
+            self.quantizer = quant.train(v32)
+            codes, norms = quant.quantize(self.quantizer,
+                                          self.state.vectors.astype(
+                                              jnp.float32))
+            self.state = self.state._replace(vectors=codes, norms=norms)
+            self._serve_quantized = True
+            return
         target = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
         self.state = self.state._replace(
             vectors=self.state.vectors.astype(target))
+
+    def optimize_layout(self) -> None:
+        """Relabel rows in BFS order from the entry point so neighbor-row
+        gathers hit nearby HBM addresses (graph-ordering; the dense-array
+        answer to SURVEY §7.4 "layout neighbors for coalesced access").
+
+        Intended after a bulk build; skipped when rows have been freed
+        (slot reuse would interleave with the BFS order anyway).
+        """
+        self.flush()
+        if self._deleted_rows or self.ids.free:
+            return
+        used = self.ids.capacity_used
+        if used == 0:
+            return
+        nbrs = np.asarray(self.state.nbrs[:used])
+        entry = int(self.state.entry)
+
+        # vectorized BFS levels over the level-0 graph
+        visited = np.zeros(used, bool)
+        order = np.empty(used, np.int32)
+        pos = 0
+        frontier = np.array([entry], np.int32)
+        visited[entry] = True
+        while frontier.size:
+            order[pos:pos + frontier.size] = frontier
+            pos += frontier.size
+            cand = nbrs[frontier].ravel()
+            cand = cand[(cand >= 0) & (cand < used)]
+            cand = np.unique(cand)
+            cand = cand[~visited[cand]]
+            visited[cand] = True
+            frontier = cand
+        rest = np.nonzero(~visited)[0]
+        order[pos:pos + rest.size] = rest           # unreachable tail
+
+        perm = order                                  # new_row -> old_row
+        old2new = np.empty(used, np.int32)
+        old2new[perm] = np.arange(used, dtype=np.int32)
+
+        def remap_ids(a: np.ndarray) -> np.ndarray:
+            out = np.where((a >= 0) & (a < used), old2new[np.minimum(a, used - 1)], a)
+            return out.astype(np.int32)
+
+        st = self.state
+        cap = self._cap
+        full_perm = np.concatenate([perm, np.arange(used, cap, dtype=np.int32)])
+        pj = jnp.asarray(full_perm)
+        new_nbrs = remap_ids(np.asarray(st.nbrs[:used]))
+        nbrs_np = np.array(st.nbrs)
+        nbrs_np[:used] = new_nbrs
+        up_node_np = remap_ids(np.asarray(st.up_node))
+        up_nbrs_np = remap_ids(np.asarray(st.up_nbrs).reshape(-1)).reshape(
+            st.up_nbrs.shape)
+        self.state = st._replace(
+            vectors=st.vectors[pj],
+            norms=st.norms[pj],
+            nbrs=jnp.asarray(nbrs_np)[pj],
+            levels=st.levels[pj],
+            deleted=st.deleted[pj],
+            up_of=st.up_of[pj],
+            up_node=jnp.asarray(up_node_np),
+            up_nbrs=jnp.asarray(up_nbrs_np),
+            entry=jnp.int32(int(old2new[entry])),
+        )
+        # host id maps follow the permutation
+        new_row_to_ext: list[str | None] = [None] * used
+        for old_row, ext in enumerate(self.ids.row_to_ext[:used]):
+            if ext is not None:
+                new_row = int(old2new[old_row])
+                new_row_to_ext[new_row] = ext
+                self.ids.ext_to_row[ext] = new_row
+        self.ids.row_to_ext = new_row_to_ext
 
     def get_vector(self, ext_id: str) -> Optional[np.ndarray]:
         """Stored vector for one id (normalized for cosine; dequantized for
