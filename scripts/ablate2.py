@@ -43,11 +43,22 @@ def loop(state, q, qn, variant):
     seed_d = K._gathered(state, seeds, q, qn, "euclidean")
 
     def merge(pd, pi, px, nd, ni):
+        if variant == "twolevel":
+            # prune new candidates to 48 first (small-k top_k), then merge
+            tnd, tpos = jax.lax.top_k(-nd, 48)
+            nd = -tnd
+            ni = jnp.take_along_axis(ni, tpos, 1)
         ad = jnp.concatenate([pd, nd], axis=1)
         ai = jnp.concatenate([pi, ni], axis=1)
         ax = jnp.concatenate([px, jnp.zeros_like(ni, bool)], axis=1)
         if variant == "no_topk":
             return ad[:, :EF], ai[:, :EF], ax[:, :EF]
+        if variant == "sortmerge":
+            # full sort carrying payloads, then truncate
+            key = ad
+            payload = (ai, ax.astype(jnp.int32))
+            sd, si, sx = jax.lax.sort((key,) + payload, num_keys=1)
+            return sd[:, :EF], si[:, :EF], sx[:, :EF].astype(bool)
         td, pos = jax.lax.top_k(-ad, EF)
         return (-td, jnp.take_along_axis(ai, pos, 1),
                 jnp.take_along_axis(ax, pos, 1))
@@ -88,7 +99,12 @@ def loop(state, q, qn, variant):
     return pd, pi
 
 
-for variant in ("full", "no_dedup", "no_gather", "no_topk"):
+gd, gi = dist.brute_force_topk(
+    jnp.asarray(X[N:N + 512]), state.vectors[:N].astype(jnp.float32), 10,
+    "euclidean")
+gi = np.asarray(gi)
+
+for variant in ("full", "sortmerge", "twolevel"):
     d, i = loop(state, q, qn, variant)
     jax.block_until_ready(d)
     t0 = time.time()
@@ -96,5 +112,8 @@ for variant in ("full", "no_dedup", "no_gather", "no_topk"):
         d, i = loop(state, q, qn, variant)
     jax.block_until_ready(d)
     dt = (time.time() - t0) / 3
-    print(f"{variant:10s}: {dt*1000:7.0f} ms  ({dt/ITERS*1000:5.1f} ms/iter)",
-          flush=True)
+    i_np = np.asarray(i)[:512, :10]
+    rec = np.mean([len(set(map(int, i_np[b])) & set(map(int, gi[b]))) / 10
+                   for b in range(512)])
+    print(f"{variant:10s}: {dt*1000:7.0f} ms  ({dt/ITERS*1000:5.1f} ms/iter) "
+          f"recall={rec:.4f}", flush=True)
