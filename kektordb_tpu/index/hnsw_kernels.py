@@ -164,7 +164,7 @@ def descend(state: GraphState, q: jax.Array, qn: Optional[jax.Array],
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "ef", "expand", "max_iters", "dual",
-                     "history"))
+                     "history", "nav_width"))
 def beam_search(
     state: GraphState,
     q: jax.Array,                 # [B, D] storage dtype (already encoded)
@@ -178,6 +178,10 @@ def beam_search(
     exclude: Optional[jax.Array] = None,   # [B] row to exclude (refine self)
     dual: bool = False,
     history: int = 0,
+    nav_width: int = 0,                    # gather only the first W neighbor
+                                           # slots (rows are distance-sorted;
+                                           # 0 = all). Halves gather rows at
+                                           # small recall cost.
     for_insert: bool = False,              # kept for call-site clarity
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (res_d [B, ef] ascending, res_i [B, ef]; +inf/-1 padded).
@@ -202,6 +206,8 @@ def beam_search(
     """
     B, _ = q.shape
     M0 = state.nbrs.shape[1]
+    if nav_width and nav_width < M0:
+        M0 = nav_width
     E = max(1, min(expand, ef))   # cannot pop more than the pool width
     C = E * M0
     if max_iters <= 0:
@@ -279,7 +285,7 @@ def beam_search(
         hist = jax.lax.dynamic_update_slice(
             hist, sel_i, (0, (it * E) % R))
 
-        nb = state.nbrs[jnp.maximum(sel_i, 0)].reshape(B, C)
+        nb = state.nbrs[jnp.maximum(sel_i, 0), :M0].reshape(B, C)
         nb = jnp.where((sel_i >= 0).repeat(M0, axis=1), nb, -1)
         # structural dedup: vs pool, vs expansion history, vs earlier slot
         dup = jnp.any(nb[:, :, None] == cand_i[:, None, :], axis=2)

@@ -53,7 +53,7 @@ def loop(state, q, qn, variant):
         ax = jnp.concatenate([px, jnp.zeros_like(ni, bool)], axis=1)
         if variant == "no_topk":
             return ad[:, :EF], ai[:, :EF], ax[:, :EF]
-        if variant == "sortmerge":
+        if variant in ("sortmerge", "no_gather", "no_dedup"):
             # full sort carrying payloads, then truncate
             key = ad
             payload = (ai, ax.astype(jnp.int32))
@@ -104,7 +104,7 @@ gd, gi = dist.brute_force_topk(
     "euclidean")
 gi = np.asarray(gi)
 
-for variant in ("full", "sortmerge", "twolevel"):
+for variant in ("sortmerge", "no_gather", "no_dedup"):
     d, i = loop(state, q, qn, variant)
     jax.block_until_ready(d)
     t0 = time.time()
