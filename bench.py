@@ -55,14 +55,15 @@ def main() -> None:
     serve = os.environ.get("KEKTOR_BENCH_SERVE", "bfloat16")
     d = 128
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/root/.cache/jax_comp_cache")
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compile cache is opt-in: set JAX_COMPILATION_CACHE_DIR in
+    # the environment (interacts poorly with some remote-compile tunnels)
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from kektordb_tpu.index import HNSWConfig, HNSWIndex
     from kektordb_tpu.ops import distance as dist
