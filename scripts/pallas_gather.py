@@ -1,8 +1,25 @@
 """Prototype: Pallas fused gather+L2-distance kernel vs XLA gather.
 
+Status (round 1): compiles up to the final Mosaic constraint — a 1D bf16
+HBM slice must be 1024-element aligned, so per-row (128-element) DMAs are
+rejected. Next step (round 2): DMA the aligned 8-row GROUP containing each
+candidate (1024 bf16) and select the row in VMEM (8x bytes, still ~4x less
+than XLA's effective waste), or keep the arena pre-grouped [N/8, 1024].
+
+Mosaic constraints learned (v5e, jax 0.9):
+  * dynamic row index into a VMEM ref must be sublane-aligned → compute
+    against all TB queries + mask-write instead
+  * lane-dim slices must be 128-aligned (pl.ds starts need
+    pl.multiple_of(.., 128))
+  * single rows of a (8,128)-tiled HBM memref cannot be DMA'd; 1D views
+    need 1024-element (bf16) alignment
+  * dynamic leading index into scratch (vbuf[slot]) needs static slots →
+    unroll the wave loop in Python
+
 Per program = one query tile: candidate rows are fetched from HBM with
 hand-issued double-buffered async DMAs (ids via scalar prefetch), distances
-computed in VMEM. Measures effective row rate vs the XLA gather baseline.
+computed in VMEM. Measures effective row rate vs the XLA gather baseline
+(~26 Mrows/s for [4096x256] rows from a 1M-row table).
 """
 import functools
 import os
@@ -17,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 B, C, D = 4096, 256, 128
 TB = 8           # queries per program
-CHUNK = 32       # rows per DMA wave
+CHUNK = 128      # rows per DMA wave (lane-dim slice must be 128-aligned)
 
 
 def kernel(ids_ref,            # SMEM scalar prefetch [B*C]
@@ -36,42 +53,48 @@ def kernel(ids_ref,            # SMEM scalar prefetch [B*C]
 
         def issue_one(j, _):
             row = ids_ref[base + off + j]
+            src = vec_ref.at[pl.ds(pl.multiple_of(row * D, 128), D)]
             pltpu.make_async_copy(
-                vec_ref.at[row], vbuf.at[slot, j], sem.at[slot, j]).start()
+                src, vbuf.at[slot, pl.ds(j * D, D)],
+                sem.at[slot, j]).start()
             return 0
 
         jax.lax.fori_loop(0, CHUNK, issue_one, 0)
 
     issue(0, 0)
 
-    def wave_body(wave, _):
+    def make_wave(wave):
         slot = wave % 2
-
-        @pl.when(wave + 1 < n_waves)
-        def _():
+        if wave + 1 < n_waves:
             issue(wave + 1, (wave + 1) % 2)
 
         def wait_one(j, _):
             row = ids_ref[base + wave * CHUNK + j]
+            src = vec_ref.at[pl.ds(pl.multiple_of(row * D, 128), D)]
             pltpu.make_async_copy(
-                vec_ref.at[row], vbuf.at[slot, j], sem.at[slot, j]).wait()
+                src, vbuf.at[slot, pl.ds(j * D, D)],
+                sem.at[slot, j]).wait()
             return 0
 
         jax.lax.fori_loop(0, CHUNK, wait_one, 0)
 
-        # all CHUNK rows belong to query (wave*CHUNK)//C within the tile
+        # all CHUNK rows belong to query (wave*CHUNK)//C within the tile;
+        # Mosaic cannot index a VMEM row dynamically, so compute against all
+        # TB queries (tiny MACs) and mask-write the owning row
         qi = (wave * CHUNK) // C
-        qv = q_ref[qi, :]                                   # [D]
-        rows = vbuf[slot].astype(jnp.float32)               # [CHUNK, D]
-        dots = jnp.dot(rows, qv.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)  # [CHUNK]
-        vsq = jnp.sum(rows * rows, axis=1)
-        dist = qsq_ref[qi, 0] - 2.0 * dots + vsq
-        cstart = (wave * CHUNK) % C
-        out_ref[qi, pl.ds(cstart, CHUNK)] = dist
-        return 0
+        rows = vbuf[slot].reshape(CHUNK, D).astype(jnp.float32)
+        dots = jnp.dot(q_ref[:].astype(jnp.float32), rows.T,
+                       preferred_element_type=jnp.float32)  # [TB, CHUNK]
+        vsq = jnp.sum(rows * rows, axis=1)[None, :]         # [1, CHUNK]
+        dist = qsq_ref[:] - 2.0 * dots + vsq                # [TB, CHUNK]
+        cstart = pl.multiple_of((wave * CHUNK) % C, 128)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (TB, CHUNK), 0)
+        cur = out_ref[:, pl.ds(cstart, CHUNK)]
+        out_ref[:, pl.ds(cstart, CHUNK)] = jnp.where(row_iota == qi,
+                                                     dist, cur)
 
-    jax.lax.fori_loop(0, n_waves, wave_body, 0)
+    for wave in range(n_waves):       # static unroll: slots/sections static
+        make_wave(wave)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -90,7 +113,7 @@ def pallas_gather_dist(ids, q, vectors):
         out_specs=pl.BlockSpec((TB, C), lambda i, ids: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, D), jnp.bfloat16),
+            pltpu.VMEM((2, CHUNK * D), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, CHUNK)),
         ],
     )
@@ -98,7 +121,7 @@ def pallas_gather_dist(ids, q, vectors):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
-    )(ids.reshape(-1), q, qsq, vectors)
+    )(ids.reshape(-1), q, qsq, vectors.reshape(-1))
 
 
 @jax.jit
