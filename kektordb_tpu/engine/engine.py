@@ -237,6 +237,10 @@ class Engine:
         meta = dict(metadata or {})
         with self._lock:
             self._ensure_materialized(h, vec.shape[-1])
+            # validate BEFORE journaling so a rejected op never lands in the
+            # AOF (a wrong-dim frame would poison replay; a dup would
+            # overwrite the live value during replay compaction)
+            self._validate_add(h, [ext_id], vec[None, :])
             self._stamp_memory(h, meta)
             if _journal:
                 self._journal("VADD", index, ext_id, vec.tobytes(),
@@ -262,6 +266,7 @@ class Engine:
         with self._lock:
             if len(ext_ids):
                 self._ensure_materialized(h, vectors.shape[-1])
+                self._validate_add(h, ext_ids, vectors)
             for j, (e, m) in enumerate(zip(ext_ids, metas)):
                 self._stamp_memory(h, m)
                 if _journal:
@@ -345,6 +350,22 @@ class Engine:
             h.meta.update(row, patch)
         self.events.emit(Event("vector.access", index, ext_id))
 
+    def _validate_add(self, h: IndexHandle, ext_ids: Sequence[str],
+                      vectors: np.ndarray) -> None:
+        """Duplicate-ID and dimension checks, mirroring the index's own
+        validation, run before the journal write (ops.go:334-347 validates
+        before 'Persistence first')."""
+        idx = h.index
+        if idx.dim and vectors.shape[-1] != idx.dim:
+            raise ValueError(
+                f"expected dim {idx.dim}, got {vectors.shape[-1]}")
+        pending = {e for e, _ in getattr(idx, "_pending", [])}
+        seen: set[str] = set()
+        for e in ext_ids:
+            if e in idx.ids or e in pending or e in seen:
+                raise KeyError(f"id already present: {e}")
+            seen.add(e)
+
     def _ensure_materialized(self, h: IndexHandle, dim: int) -> None:
         """Dimension fixes on first insert (reference dim validation,
         ops.go:334-347)."""
@@ -420,6 +441,21 @@ class Engine:
         if idx.dim and q.shape[-1] != idx.dim:
             raise ValueError(
                 f"query dim {q.shape[-1]} != index dim {idx.dim}")
+        # the engine lock serializes against writers for the whole read
+        # section: flush() commits pending vectors and donates/invalidates
+        # device state buffers, and the IDMap/metadata reads below must see
+        # a consistent view (HTTP handlers call this from worker threads)
+        with self._lock:
+            return self._search_locked(
+                h, idx, q, B, k, ef=ef, filter=filter,
+                text_query=text_query, alpha=alpha, graph_root=graph_root,
+                graph_depth=graph_depth, graph_relation=graph_relation,
+                at_time=at_time, include_metadata=include_metadata,
+                decay=decay, index=index)
+
+    def _search_locked(self, h, idx, q, B, k, *, ef, filter, text_query,
+                       alpha, graph_root, graph_depth, graph_relation,
+                       at_time, include_metadata, decay, index):
         if hasattr(idx, "flush"):
             idx.flush()
         universe = self._live_rows(h)
@@ -456,12 +492,7 @@ class Engine:
                 allow_arr = np.zeros(_cap_of(idx), bool)
                 rows = [r for r in allow if r < allow_arr.size]
                 allow_arr[rows] = True
-            # the engine lock serializes against writers: insert kernels
-            # donate the state buffers, so a search must not capture a
-            # state that a concurrent insert is about to invalidate
-            with self._lock:
-                d, rows_out = idx.search(q, fetch, ef=ef,
-                                         allow_rows=allow_arr)
+            d, rows_out = idx.search(q, fetch, ef=ef, allow_rows=allow_arr)
             for b in range(B):
                 for j in range(rows_out.shape[1]):
                     r = int(rows_out[b, j])
@@ -828,6 +859,8 @@ class Engine:
                 "up_next": idx._up_next,
                 "max_level": idx._max_level,
                 "needs_refine": idx.needs_refine,
+                "serve_quantized": idx._serve_quantized,
+                "refine_cursor": idx._refine_cursor,
                 "quantizer": {
                     "abs_max": float(idx.quantizer.abs_max),
                     "trained": bool(idx.quantizer.trained)},
@@ -870,6 +903,8 @@ class Engine:
                 idx._up_next = int(st["up_next"])
                 idx._max_level = int(st["max_level"])
                 idx.needs_refine = bool(st["needs_refine"])
+                idx._serve_quantized = bool(st.get("serve_quantized", False))
+                idx._refine_cursor = int(st.get("refine_cursor", 0))
                 idx.quantizer = quant.QuantizerState(
                     abs_max=jnp.float32(st["quantizer"]["abs_max"]),
                     trained=jnp.asarray(bool(st["quantizer"]["trained"])))
@@ -929,11 +964,29 @@ class Engine:
                 todo = {e: v for e, v in alive.items()
                         if self._row_of(h, e) is None}
                 if todo:
-                    ids = list(todo.keys())
-                    vecs = np.stack([np.frombuffer(todo[e][0], np.float32)
-                                     for e in ids])
-                    metas = [todo[e][1] for e in ids]
-                    self.add_batch(name, ids, vecs, metas, _journal=False)
+                    # per-entry shape tolerance: a corrupt/wrong-dim frame
+                    # must not prevent the DB from starting
+                    bufs = {e: np.frombuffer(todo[e][0], np.float32)
+                            for e in todo}
+                    dim = getattr(h.index, "dim", 0)
+                    if not dim:
+                        from collections import Counter
+                        dim = Counter(v.size for v in bufs.values()
+                                      ).most_common(1)[0][0]
+                    ids = [e for e in todo if bufs[e].size == dim]
+                    if len(ids) < len(todo):
+                        log.warning(
+                            "AOF replay: skipping %d wrong-dim entries in %s",
+                            len(todo) - len(ids), name)
+                    if ids:
+                        vecs = np.stack([bufs[e] for e in ids])
+                        metas = [todo[e][1] for e in ids]
+                        try:
+                            self.add_batch(name, ids, vecs, metas,
+                                           _journal=False)
+                        except Exception:
+                            log.exception(
+                                "AOF replay: bulk apply failed for %s", name)
                 for e, v in alive.items():
                     if v[1] and e not in todo:
                         row = self._row_of(self.indexes[name], e)

@@ -70,7 +70,7 @@ class HNSWIndex:
         self.rng = np.random.default_rng(self.config.seed)
 
         self._cap = self.MIN_CAP
-        self._ucap = max(self.MIN_CAP // 4, 256)
+        self._ucap = self._ucap_for(self.MIN_CAP)
         self.state = K.init_state(
             self._cap, dim, dist.storage_dtype(precision),
             m0=2 * self.config.m, lmax=self.config.lmax,
@@ -114,6 +114,11 @@ class HNSWIndex:
 
     # -- capacity ----------------------------------------------------------
 
+    def _ucap_for(self, cap: int) -> int:
+        """Upper-slot capacity: P(level>=1) = 1/m, so expect cap/m upper
+        nodes; keep 2x headroom (and never shrink below the live count)."""
+        return max(2 * cap // max(self.config.m, 2), 256)
+
     def _grow_for(self, extra: int) -> None:
         need = self.ids.capacity_used + extra
         if need <= self._cap:
@@ -121,7 +126,7 @@ class HNSWIndex:
         new_cap = self._cap
         while new_cap < need:
             new_cap *= 2
-        new_ucap = max(new_cap // 4, 256)
+        new_ucap = max(self._ucap_for(new_cap), self._ucap)
         self.state = K.grow_state(self.state, new_cap, new_ucap)
         self._cap, self._ucap = new_cap, new_ucap
 
@@ -192,13 +197,15 @@ class HNSWIndex:
         enc_n, norms_n = self._encode(vectors)
         enc = jnp.zeros((pad_to, self.dim), enc_n.dtype).at[:n].set(enc_n)
         norms = jnp.zeros((pad_to,), jnp.float32).at[:n].set(norms_n)
-        st = K.insert_chunk(self.state, jnp.asarray(rows), enc, norms,
-                            jnp.asarray(levels), metric=self.metric, ef=ef,
-                            m=self.config.m, intra_k=self.config.intra_k,
-                            dual=bool(self._deleted_rows),
-                            expand=self.config.expand)
+        self.state = K.insert_chunk(
+            self.state, jnp.asarray(rows), enc, norms,
+            jnp.asarray(levels), metric=self.metric, ef=ef,
+            m=self.config.m, intra_k=self.config.intra_k,
+            dual=bool(self._deleted_rows),
+            expand=self.config.expand)
 
         # upper-level registration for new nodes with level >= 1
+        # (self.state must be current here: _alloc_up_slot may grow it)
         ups = [(int(r), int(l)) for r, l in zip(rows, levels) if l >= 1 and r >= 0]
         if ups:
             kpad = 1
@@ -209,11 +216,11 @@ class HNSWIndex:
             for j, (r, _) in enumerate(ups):
                 unodes[j] = r
                 uslots[j] = self._alloc_up_slot()
-            st = K.update_upper(st, jnp.asarray(unodes), jnp.asarray(uslots),
-                                metric=self.metric)
+            self.state = K.update_upper(self.state, jnp.asarray(unodes),
+                                        jnp.asarray(uslots),
+                                        metric=self.metric)
             self._max_level = max(self._max_level,
                                   max(l for _, l in ups))
-        self.state = st
 
     def _alloc_up_slot(self) -> int:
         if self._up_free:
@@ -221,7 +228,11 @@ class HNSWIndex:
         s = self._up_next
         self._up_next += 1
         if s >= self._ucap:
-            raise RuntimeError("upper capacity exhausted")  # _grow_for sizes it
+            # unlucky level-sampling run overflowed the 2x headroom — grow
+            # the upper arrays in place
+            new_ucap = self._ucap * 2
+            self.state = K.grow_state(self.state, self._cap, new_ucap)
+            self._ucap = new_ucap
         return s
 
     # -- delete / maintenance -------------------------------------------------
@@ -363,8 +374,11 @@ class HNSWIndex:
                 allow = jnp.asarray(
                     np.pad(a[: self._cap], (0, max(0, self._cap - a.size))))
             else:
-                allow = allow.at[jnp.asarray(a.astype(np.int32))].set(
-                    True, mode="drop")
+                rows = a.astype(np.int32)
+                # positive OOB sentinel: -1 would write row cap-1 (see
+                # hnsw_kernels._oob)
+                rows = np.where(rows >= 0, rows, self._cap)
+                allow = allow.at[jnp.asarray(rows)].set(True, mode="drop")
         dual = allow is not None or bool(self._deleted_rows)
         # pad the batch to a power of two so varying request sizes reuse the
         # same compiled beam program (serving stability; batcher coalesces
@@ -381,8 +395,10 @@ class HNSWIndex:
                              ef=ef, allow=allow, dual=dual,
                              expand=self.config.expand)
         d_np = np.asarray(d[:B, :k])
-        if self._serve_quantized:
-            # distances were computed in the quantized domain; rescale back
+        if self._serve_quantized and self.metric == dist.L2:
+            # euclidean distances were computed in the quantized domain;
+            # rescale back. Cosine (1 - dot/|a||b|) is scale-invariant —
+            # no rescale.
             quantum = float(self.quantizer.abs_max) / 127.0
             d_np = d_np * (quantum * quantum)
         return d_np, np.asarray(i[:B, :k])

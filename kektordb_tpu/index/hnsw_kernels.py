@@ -62,6 +62,14 @@ class GraphState(NamedTuple):
     size: jax.Array       # int32 scalar — rows ever allocated (incl. deleted)
 
 
+def _oob(rows: jax.Array, cap: int) -> jax.Array:
+    """Padding sentinel for mode="drop" scatters. JAX normalizes negative
+    dynamic indices BEFORE the bounds check, so a -1 sentinel would silently
+    write row cap-1; a positive out-of-range index (cap == axis length) is
+    genuinely dropped."""
+    return jnp.where(rows >= 0, rows, cap)
+
+
 def init_state(cap: int, dim: int, dtype, *, m0: int, lmax: int, mu: int,
                ucap: int) -> GraphState:
     return GraphState(
@@ -419,7 +427,8 @@ def commit_chunk(
     # -- forward links: place the m selected into the first m slots ----------
     fwd = jnp.full((C, M0), -1, jnp.int32)
     fwd = fwd.at[:, :m].set(sel_i)
-    nbrs = state.nbrs.at[jnp.where(rows >= 0, rows, -1)].set(fwd, mode="drop")
+    cap = state.nbrs.shape[0]
+    nbrs = state.nbrs.at[_oob(rows, cap)].set(fwd, mode="drop")
 
     # -- reverse links: pairs (dst, src, d), grouped by dst via sort ---------
     src = jnp.broadcast_to(rows[:, None], (C, m)).reshape(-1)
@@ -485,12 +494,10 @@ def commit_chunk(
                     constant_values=jnp.inf).reshape(nb_blocks, TB, rev_cap)
     new_rows_i = jax.lax.map(merge_block, (d_rows_p, b_src_p, b_d_p))
     new_rows_i = new_rows_i.reshape(nb_blocks * TB, M0)[:n]
-    nbrs = nbrs.at[jnp.where(seg_dst >= 0, seg_dst, -1)].set(
-        new_rows_i, mode="drop")
+    nbrs = nbrs.at[_oob(seg_dst, cap)].set(new_rows_i, mode="drop")
 
     # -- levels, entry point, size -------------------------------------------
-    levels = state.levels.at[jnp.where(rows >= 0, rows, -1)].set(
-        new_levels, mode="drop")
+    levels = state.levels.at[_oob(rows, cap)].set(new_levels, mode="drop")
     chunk_max = jnp.max(jnp.where(rows >= 0, new_levels, -1))
     j = jnp.argmax(jnp.where(rows >= 0, new_levels, -1))
     new_entry = jnp.where(
@@ -578,9 +585,9 @@ def update_upper(
     K = new_nodes.shape[0]
     ucap, LMAX, MU = state.up_nbrs.shape
 
-    up_of = state.up_of.at[jnp.where(new_nodes >= 0, new_nodes, -1)].set(
-        new_uidx, mode="drop")
-    up_node = state.up_node.at[jnp.where(new_uidx >= 0, new_uidx, -1)].set(
+    cap = state.up_of.shape[0]
+    up_of = state.up_of.at[_oob(new_nodes, cap)].set(new_uidx, mode="drop")
+    up_node = state.up_node.at[_oob(new_uidx, ucap)].set(
         new_nodes, mode="drop")
 
     # distances new-uppers × all-uppers (K × ucap) — one matmul
@@ -597,7 +604,7 @@ def update_upper(
     # rows created this call take the exact forward top-k; exclude them from
     # the reverse merge below (their forward rows already include each other)
     is_new = jnp.zeros((ucap,), bool).at[
-        jnp.where(new_uidx >= 0, new_uidx, -1)].set(True, mode="drop")
+        _oob(new_uidx, ucap)].set(True, mode="drop")
     new_lv = jnp.where(new_nodes >= 0, state.levels[jnp.maximum(new_nodes, 0)], -1)
     u_lv = jnp.where(occupied, state.levels[all_rows], -1)
 
@@ -610,7 +617,7 @@ def update_upper(
         # forward: top-MU per new node at this level
         nd, np_ = jax.lax.top_k(-Dl, MU)
         f_i = jnp.where(jnp.isinf(-nd), -1, up_node[np_])
-        tgt = jnp.where(in_l_new & (new_uidx >= 0), new_uidx, -1)
+        tgt = _oob(jnp.where(in_l_new, new_uidx, -1), ucap)
         up_nbrs = up_nbrs.at[tgt, l - 1].set(f_i, mode="drop")
         up_dists = up_dists.at[tgt, l - 1].set(-nd, mode="drop")
         # reverse: merge new arrivals into existing rows via cached dists
@@ -678,7 +685,7 @@ def refine_chunk(
     new_rows = new_rows.at[:, :m_out].set(sel_i)
     # keep rows with zero selected untouched (disconnected safety)
     any_sel = jnp.any(sel_i >= 0, axis=1)
-    tgt = jnp.where((rows >= 0) & any_sel, rows, -1)
+    tgt = _oob(jnp.where(any_sel, rows, -1), state.nbrs.shape[0])
     nbrs = state.nbrs.at[tgt].set(new_rows, mode="drop")
     return state._replace(nbrs=nbrs)
 
@@ -692,7 +699,7 @@ def write_vectors(state: GraphState, rows: jax.Array, vecs: jax.Array,
                   norms: jax.Array) -> GraphState:
     """Write encoded vectors into the arena before linking (Add phase 1,
     hnsw_index.go:563-635)."""
-    tgt = jnp.where(rows >= 0, rows, -1)
+    tgt = _oob(rows, state.vectors.shape[0])
     return state._replace(
         vectors=state.vectors.at[tgt].set(vecs, mode="drop"),
         norms=state.norms.at[tgt].set(norms, mode="drop"),
@@ -703,7 +710,7 @@ def write_vectors(state: GraphState, rows: jax.Array, vecs: jax.Array,
 @functools.partial(jax.jit, donate_argnums=(0,))
 def mark_deleted(state: GraphState, rows: jax.Array) -> GraphState:
     """Soft delete (hnsw_index.go:2292)."""
-    tgt = jnp.where(rows >= 0, rows, -1)
+    tgt = _oob(rows, state.deleted.shape[0])
     return state._replace(deleted=state.deleted.at[tgt].set(True, mode="drop"))
 
 
@@ -721,9 +728,9 @@ def purge_rows(state: GraphState, rows: jax.Array,
     """Physically clear deleted rows after reconnection (vacuum end:
     zero arena bytes, nil slots, optimizer.go:226-262) and drop them from
     every upper-level KNN row."""
-    tgt = jnp.where(rows >= 0, rows, -1)
-    dead = jnp.zeros((state.vectors.shape[0],), bool).at[tgt].set(
-        True, mode="drop")
+    cap = state.vectors.shape[0]
+    tgt = _oob(rows, cap)
+    dead = jnp.zeros((cap,), bool).at[tgt].set(True, mode="drop")
     # strip dead ids out of all neighbor rows
     nbrs = jnp.where(dead[jnp.maximum(state.nbrs, 0)] & (state.nbrs >= 0),
                      -1, state.nbrs)
@@ -731,7 +738,7 @@ def purge_rows(state: GraphState, rows: jax.Array,
     dead_ref = dead[jnp.maximum(state.up_nbrs, 0)] & (state.up_nbrs >= 0)
     up_nbrs = jnp.where(dead_ref, -1, state.up_nbrs)
     up_dists = jnp.where(dead_ref, jnp.inf, state.up_dists)
-    utgt = jnp.where(up_slots >= 0, up_slots, -1)
+    utgt = _oob(up_slots, state.up_node.shape[0])
     return state._replace(
         vectors=state.vectors.at[tgt].set(0, mode="drop"),
         norms=state.norms.at[tgt].set(0.0, mode="drop"),

@@ -42,19 +42,37 @@ def _unpack_hook(o):
     return o
 
 
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def save(root: str, arrays: dict[str, np.ndarray], state: dict[str, Any]
          ) -> str:
-    """Write a new checkpoint generation and swap CURRENT atomically."""
+    """Write a new checkpoint generation and swap CURRENT atomically.
+
+    Both data files and the generation/root directories are fsynced before
+    CURRENT is swapped, so after power loss CURRENT never points at a torn
+    generation."""
     os.makedirs(root, exist_ok=True)
     gen = f"ckpt-{int(time.time() * 1000):016d}"
     tmp = os.path.join(root, gen + ".tmp")
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, "arrays.npz"), "wb") as f:
         np.savez(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())
     with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
         f.write(msgpack.packb(state, default=_pack_default, use_bin_type=True))
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(tmp)
     final = os.path.join(root, gen)
     os.replace(tmp, final)
+    _fsync_dir(root)
     # atomic CURRENT swap
     cur_tmp = os.path.join(root, CURRENT + ".tmp")
     with open(cur_tmp, "w") as f:
@@ -62,16 +80,13 @@ def save(root: str, arrays: dict[str, np.ndarray], state: dict[str, Any]
         f.flush()
         os.fsync(f.fileno())
     os.replace(cur_tmp, os.path.join(root, CURRENT))
+    _fsync_dir(root)
     _gc(root, keep=2)
     return final
 
 
-def load(root: str) -> Optional[tuple[dict[str, np.ndarray], dict[str, Any]]]:
-    cur = os.path.join(root, CURRENT)
-    if not os.path.exists(cur):
-        return None
-    with open(cur) as f:
-        gen = f.read().strip()
+def _load_gen(root: str, gen: str
+              ) -> tuple[dict[str, np.ndarray], dict[str, Any]]:
     path = os.path.join(root, gen)
     with np.load(os.path.join(path, "arrays.npz")) as z:
         arrays = {k: z[k] for k in z.files}
@@ -79,6 +94,26 @@ def load(root: str) -> Optional[tuple[dict[str, np.ndarray], dict[str, Any]]]:
         state = msgpack.unpackb(f.read(), raw=False, strict_map_key=False,
                                 object_hook=_unpack_hook)
     return arrays, state
+
+
+def load(root: str) -> Optional[tuple[dict[str, np.ndarray], dict[str, Any]]]:
+    """Load the CURRENT generation; on a torn/corrupt one, fall back to the
+    newest older generation that parses."""
+    cur = os.path.join(root, CURRENT)
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        gen = f.read().strip()
+    tried = [gen]
+    older = sorted((d for d in os.listdir(root)
+                    if d.startswith("ckpt-") and not d.endswith(".tmp")
+                    and d != gen), reverse=True)
+    for g in tried + older:
+        try:
+            return _load_gen(root, g)
+        except Exception:
+            continue
+    return None
 
 
 def _gc(root: str, keep: int) -> None:

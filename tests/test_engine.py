@@ -266,3 +266,67 @@ class TestPersistence:
         assert e2.get("idx", "a")["metadata"]["y"] == 2
         assert e2.get("idx", "a")["metadata"]["x"] == 1
         e2.close()
+
+
+class TestDurabilityHardening:
+    def test_int8_serving_survives_restart(self, tmp_path):
+        """compress_serving('int8') + checkpoint + reload must keep serving
+        in the quantized domain (regression: _serve_quantized not
+        persisted → f32 queries cast raw to int8 → garbage)."""
+        from kektordb_tpu.ops import distance as dist
+        e = mk(tmp_path)
+        e.create_index("idx", m=8)
+        X = vecs(300, 16, seed=3)
+        e.add_batch("idx", [f"v{i}" for i in range(300)], X)
+        e.indexes["idx"].index.compress_serving("int8")
+        before = e.search("idx", X[7], k=1)[0][0]
+        assert before["id"] == "v7"
+        e.close()
+        e2 = mk(tmp_path)
+        idx2 = e2.indexes["idx"].index
+        assert idx2._serve_quantized
+        after = e2.search("idx", X[7], k=1)[0][0]
+        assert after["id"] == "v7"
+        assert after["distance"] == pytest.approx(before["distance"],
+                                                 rel=1e-3, abs=1e-3)
+        e2.close()
+
+    def test_checkpoint_falls_back_to_older_generation(self, tmp_path):
+        """A torn CURRENT generation must not brick recovery (load falls
+        back to the newest parseable older generation)."""
+        import os
+        e = mk(tmp_path)
+        e.create_index("idx", m=8)
+        e.add("idx", "a", np.ones(8, np.float32))
+        e.save_snapshot()
+        e.add("idx", "b", 2 * np.ones(8, np.float32))
+        p2 = e.save_snapshot()
+        e._aof.flush(fsync=True)
+        e.close()
+        # tear the newest generation
+        os.truncate(os.path.join(p2, "arrays.npz"), 10)
+        e2 = mk(tmp_path)
+        assert e2.get("idx", "a")
+        # "b" is also recovered: the AOF since the *old* generation still
+        # holds it only if not truncated — after the torn gen's truncate it
+        # may be gone; the invariant under test is recovery succeeds with
+        # the older generation's data intact.
+        e2.close()
+
+    def test_rejected_op_not_journaled(self, tmp_path):
+        """A wrong-dim or duplicate add must not leave a frame in the AOF
+        (journal-after-validate)."""
+        e = mk(tmp_path)
+        e.create_index("idx", m=8)
+        e.add("idx", "a", np.ones(8, np.float32))
+        with pytest.raises(ValueError):
+            e.add("idx", "bad", np.ones(3, np.float32))
+        with pytest.raises(KeyError):
+            e.add("idx", "a", np.ones(8, np.float32))
+        with pytest.raises(KeyError):
+            e.add_batch("idx", ["x", "x"], vecs(2, 8))
+        e._aof.flush(fsync=True)
+        e.close()
+        e2 = mk(tmp_path)
+        assert sorted(e2.indexes["idx"].index.ids.ext_to_row) == ["a"]
+        e2.close()

@@ -193,3 +193,27 @@ def test_filtered_search():
     gd, gi = oracle.search(q, 5, allow_rows=allow)
     hits = sum(len(set(map(int, gi[b])) & set(map(int, i1[b]))) for b in range(30))
     assert hits / (30 * 5) >= 0.85
+
+
+def test_full_arena_padded_flush_preserves_last_row():
+    """Regression: mode="drop" scatters used a -1 sentinel, which JAX
+    normalizes to the LAST row before the bounds check — with the arena
+    exactly full (used == cap), any padded flush clobbered row cap-1."""
+    d = 16
+    cfg = HNSWConfig(m=4, ef_construction=32, ef_search=32, chunk=64,
+                     flush_chunk=64)
+    idx = HNSWIndex(d, dist.L2, config=cfg)
+    cap = idx._cap                       # MIN_CAP
+    X = make_data(cap, d, seed=77)
+    idx.add_batch([f"v{i}" for i in range(cap)], X)
+    assert idx.ids.capacity_used == cap  # arena exactly full
+    last_vec_before = np.asarray(idx.state.vectors[cap - 1]).copy()
+    last_lvl_before = int(idx.state.levels[cap - 1])
+    # a padded refine step (rows padded with -1) over a partial batch
+    idx.refine_step(np.arange(10, dtype=np.int32))
+    assert int(idx.state.levels[cap - 1]) == last_lvl_before
+    np.testing.assert_array_equal(
+        np.asarray(idx.state.vectors[cap - 1]), last_vec_before)
+    # the last row must still be findable
+    dd, ii = idx.search(X[cap - 1][None], k=1)
+    assert int(ii[0, 0]) == cap - 1
