@@ -384,10 +384,10 @@ class Engine:
                 meta[fusion.PINNED_KEY] = True
 
     def _row_of(self, h: IndexHandle, ext_id: str) -> Optional[int]:
+        # rows are allocated eagerly at add() time — no flush needed
         ids = getattr(h.index, "ids", None)
         if ids is None:
             return None
-        h.index.flush() if hasattr(h.index, "flush") else None
         return ids.get(ext_id)
 
     def _process_auto_links(self, h: IndexHandle, ext_id: str,
@@ -456,8 +456,8 @@ class Engine:
     def _search_locked(self, h, idx, q, B, k, *, ef, filter, text_query,
                        alpha, graph_root, graph_depth, graph_relation,
                        at_time, include_metadata, decay, index):
-        if hasattr(idx, "flush"):
-            idx.flush()
+        # rows are allocated eagerly at add(); idx.search() stages/links
+        # pending vectors itself as its serve mode requires
         universe = self._live_rows(h)
 
         allow: Optional[set[int]] = None
@@ -830,7 +830,11 @@ class Engine:
         }
         for name, h in self.indexes.items():
             idx = h.index
-            if hasattr(idx, "flush"):
+            if hasattr(idx, "_stage_pending"):
+                # stage (scan-visible) but do not force graph linking: the
+                # unlinked backlog is persisted and drains after reload
+                idx._stage_pending()
+            elif hasattr(idx, "flush"):
                 idx.flush()
             if isinstance(idx, _LazyIndex):
                 state["indexes"][name] = {
@@ -861,6 +865,7 @@ class Engine:
                 "needs_refine": idx.needs_refine,
                 "serve_quantized": idx._serve_quantized,
                 "refine_cursor": idx._refine_cursor,
+                "unlinked": [[int(r), int(l)] for r, l in idx._unlinked],
                 "quantizer": {
                     "abs_max": float(idx.quantizer.abs_max),
                     "trained": bool(idx.quantizer.trained)},
@@ -905,6 +910,8 @@ class Engine:
                 idx.needs_refine = bool(st["needs_refine"])
                 idx._serve_quantized = bool(st.get("serve_quantized", False))
                 idx._refine_cursor = int(st.get("refine_cursor", 0))
+                idx._unlinked = [(int(r), int(l))
+                                 for r, l in st.get("unlinked") or []]
                 idx.quantizer = quant.QuantizerState(
                     abs_max=jnp.float32(st["quantizer"]["abs_max"]),
                     trained=jnp.asarray(bool(st["quantizer"]["trained"])))

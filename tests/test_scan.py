@@ -1,0 +1,223 @@
+"""Fused MXU scan serving path (ops/scan.py) — parity vs brute force,
+masking, metric/precision families, two-stage insert visibility, and the
+Pallas pass-A kernel logic in interpreter mode.
+
+Reference model: the scan path subsumes the SIMD hot loop
+(hnsw_index.go:2340-2600) as one batched matmul program; recall oracle is
+BruteForceIndex as in SURVEY §4.8."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kektordb_tpu.index import BruteForceIndex, HNSWConfig, HNSWIndex
+from kektordb_tpu.ops import distance as dist
+from kektordb_tpu.ops import scan
+
+
+def data(n, d, seed=0):
+    return np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+
+
+class TestScanTopk:
+    def test_xla_fallback_matches_oracle_l2(self):
+        N, D, B = 4096, 32, 64
+        X, Q = data(N, D), data(B, D, seed=1)
+        v = jnp.asarray(X)
+        live = jnp.ones((N,), bool)
+        biasA, biasB = scan.serving_bias(v, jnp.zeros((N,)), live, dist.L2)
+        s, rows = scan.scan_topk(jnp.asarray(Q), v, biasA, biasB, 10)
+        d = scan.scores_to_distances(s, jnp.asarray(Q), None, dist.L2, False)
+        gd, gi = dist.brute_force_topk(jnp.asarray(Q), v, 10, dist.L2)
+        np.testing.assert_array_equal(np.asarray(rows), np.asarray(gi))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(gd),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_pallas_kernel_interpret_parity(self):
+        """Pass-A kernel logic (group min/argmin + index reconstruction)
+        validated in Pallas interpreter mode on CPU."""
+        N, D, B = 2048, 32, 32
+        X, Q = data(N, D), data(B, D, seed=2)
+        v = jnp.asarray(X)
+        live = jnp.ones((N,), bool)
+        biasA, biasB = scan.serving_bias(v, jnp.zeros((N,)), live, dist.L2)
+        s, rows = scan._scan_pallas(jnp.asarray(Q), v, biasA, biasB, 10,
+                                    True, interpret=True)
+        gd, gi = dist.brute_force_topk(jnp.asarray(Q), v, 10, dist.L2)
+        gi_np, rows_np = np.asarray(gi), np.asarray(rows)
+        # group collisions (two true top-10 rows in one G-group) shift a
+        # few slots at this tiny N — overlap, not equality
+        overlap = np.mean([len(set(gi_np[b]) & set(rows_np[b])) / 10
+                           for b in range(B)])
+        assert overlap >= 0.9
+        # every returned row's distance must be its true exact distance
+        d = scan.scores_to_distances(s, jnp.asarray(Q), None, dist.L2,
+                                     False)
+        true_d = ((Q[:, None, :] - X[rows_np]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(d), true_d, rtol=1e-3,
+                                   atol=1e-2)
+
+    def test_mask_excludes_rows(self):
+        N, D, B = 2048, 16, 32
+        X, Q = data(N, D), data(B, D, seed=3)
+        v = jnp.asarray(X)
+        live = jnp.ones((N,), bool).at[: N // 2].set(False)
+        biasA, biasB = scan.serving_bias(v, jnp.zeros((N,)), live, dist.L2)
+        s, rows = scan.scan_topk(jnp.asarray(Q), v, biasA, biasB, 10)
+        assert (np.asarray(rows) >= N // 2).all()
+
+    def test_cosine(self):
+        N, D, B = 2048, 24, 32
+        X = np.asarray(dist.normalize(jnp.asarray(data(N, D))))
+        Q = np.asarray(dist.normalize(jnp.asarray(data(B, D, seed=4))))
+        v = jnp.asarray(X)
+        live = jnp.ones((N,), bool)
+        biasA, biasB = scan.serving_bias(v, jnp.zeros((N,)), live,
+                                         dist.COSINE)
+        s, rows = scan.scan_topk(jnp.asarray(Q), v, biasA, biasB, 10)
+        d = scan.scores_to_distances(s, jnp.asarray(Q), None,
+                                     dist.COSINE, False)
+        gd, gi = dist.brute_force_topk(jnp.asarray(Q), v, 10, dist.COSINE)
+        np.testing.assert_array_equal(np.asarray(rows), np.asarray(gi))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(gd),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_int8_cosine(self):
+        from kektordb_tpu.ops import quantize as quant
+        N, D, B = 2048, 32, 32
+        X = np.asarray(dist.normalize(jnp.asarray(data(N, D))))
+        Q = np.asarray(dist.normalize(jnp.asarray(data(B, D, seed=5))))
+        qs = quant.train(jnp.asarray(X))
+        codes, norms = quant.quantize(qs, jnp.asarray(X))
+        qcodes, qnorms = quant.quantize(qs, jnp.asarray(Q))
+        live = jnp.ones((N,), bool)
+        biasA, biasB = scan.serving_bias(codes, norms, live, dist.COSINE)
+        s, rows = scan.scan_topk(qcodes, codes, biasA, biasB, 10)
+        d = scan.scores_to_distances(s, qcodes, qnorms, dist.COSINE, True)
+        gd, gi = dist.brute_force_topk(jnp.asarray(Q), jnp.asarray(X), 10,
+                                       dist.COSINE)
+        # quantized-domain rank parity vs f32 oracle: near-exact
+        gi_np, rows_np = np.asarray(gi), np.asarray(rows)
+        overlap = np.mean([len(set(gi_np[b]) & set(rows_np[b])) / 10
+                           for b in range(B)])
+        assert overlap >= 0.9
+        assert float(np.abs(np.asarray(d)[:, 0] -
+                            np.asarray(gd)[:, 0]).max()) < 0.05
+
+
+class TestScanServing:
+    def test_index_scan_matches_oracle(self):
+        n, d = 3000, 32
+        X = data(n, d)
+        idx = HNSWIndex(d, dist.L2,
+                        config=HNSWConfig(m=8, chunk=256, serve_mode="scan"))
+        idx.add_batch([f"v{i}" for i in range(n)], X)
+        oracle = BruteForceIndex(d, dist.L2)
+        oracle.add_batch([f"v{i}" for i in range(n)], X)
+        Q = data(50, d, seed=9)
+        dd, ii = idx.search(Q, 10)
+        gd, gi = oracle.search(Q, 10)
+        hits = sum(len(set(map(int, np.asarray(ii)[b])) &
+                       set(map(int, np.asarray(gi)[b]))) for b in range(50))
+        assert hits / 500 >= 0.999
+
+    def test_streaming_immediately_visible_no_link(self):
+        """Two-stage insert: adds are scan-searchable before any graph
+        linking happens (the unlinked backlog stays non-empty)."""
+        d = 16
+        idx = HNSWIndex(d, dist.L2,
+                        config=HNSWConfig(m=4, chunk=64, flush_chunk=8,
+                                          serve_mode="scan"))
+        X = data(64, d)
+        for i in range(64):
+            idx.add(f"v{i}", X[i])
+        dd, ii = idx.search(X[:4], 1)
+        assert [int(x) for x in np.asarray(ii)[:, 0]] == [
+            idx.ids.ext_to_row[f"v{i}"] for i in range(4)]
+        assert len(idx._unlinked) > 0      # no graph work happened
+
+    def test_auto_mode_streaming_then_beam(self):
+        """auto mode: scan serves immediately; beam works after the backlog
+        links (ensure_linked)."""
+        d = 16
+        idx = HNSWIndex(d, dist.L2,
+                        config=HNSWConfig(m=8, ef_construction=64,
+                                          ef_search=48, chunk=64,
+                                          flush_chunk=16))
+        X = data(256, d)
+        idx.add_batch([f"v{i}" for i in range(256)], X)
+        idx.add("late", X[0] + 50.0)
+        dd, ii = idx.search((X[0] + 50.0)[None], 1)           # scan path
+        assert idx.ids.row_to_ext[int(ii[0, 0])] == "late"
+        dd, ii = idx.search((X[0] + 50.0)[None], 1, mode="beam")
+        assert idx.ids.row_to_ext[int(ii[0, 0])] == "late"
+        assert not idx._unlinked
+
+    def test_delete_pending_and_staged(self):
+        d = 8
+        idx = HNSWIndex(d, dist.L2,
+                        config=HNSWConfig(m=4, chunk=64, flush_chunk=32,
+                                          serve_mode="scan"))
+        X = data(16, d)
+        for i in range(16):
+            idx.add(f"v{i}", X[i])
+        assert idx.delete("v3")            # still host-pending
+        idx._stage_pending()
+        assert idx.delete("v5")            # staged
+        dd, ii = idx.search(X, 3)
+        gone = {3, 5}
+        rows = {idx.ids.ext_to_row.get(f"v{i}") for i in gone if
+                f"v{i}" in idx.ids}
+        assert not rows
+        live_ids = {idx.ids.row_to_ext[int(r)]
+                    for r in np.asarray(ii).ravel() if r >= 0}
+        assert "v3" not in live_ids and "v5" not in live_ids
+        assert len(idx) == 14
+
+    def test_scan_mode_vacuum(self):
+        d = 8
+        idx = HNSWIndex(d, dist.L2,
+                        config=HNSWConfig(m=4, chunk=64,
+                                          serve_mode="scan"))
+        X = data(256, d)
+        idx.add_batch([f"v{i}" for i in range(256)], X)
+        for i in range(0, 64):
+            idx.delete(f"v{i}")
+        n = idx.vacuum()
+        assert n == 64 and idx.deleted_count == 0
+        assert len(idx._unlinked) > 0      # vacuum did not force linking
+        dd, ii = idx.search(X[100][None], 1)
+        assert idx.ids.row_to_ext[int(ii[0, 0])] == "v100"
+
+    def test_filtered_scan(self):
+        n, d = 1024, 16
+        X = data(n, d)
+        idx = HNSWIndex(d, dist.L2,
+                        config=HNSWConfig(m=8, chunk=256, serve_mode="scan"))
+        idx.add_batch([f"v{i}" for i in range(n)], X)
+        allow = np.zeros(n, bool)
+        allow[::7] = True
+        dd, ii = idx.search(data(20, d, seed=2), 5, allow_rows=allow)
+        ii = np.asarray(ii)
+        assert (((ii % 7 == 0) | (ii == -1))).all()
+
+    def test_checkpoint_preserves_unlinked_backlog(self, tmp_path):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        e = Engine(EngineConfig(data_dir=str(tmp_path),
+                                start_background=False)).open()
+        e.create_index("idx", m=8)
+        X = data(100, 16)
+        e.add_batch("idx", [f"v{i}" for i in range(100)], X)
+        e.add("idx", "late", X[0] + 10)
+        e.save_snapshot()
+        e.close()
+        e2 = Engine(EngineConfig(data_dir=str(tmp_path),
+                                 start_background=False)).open()
+        hit = e2.search("idx", X[0] + 10, k=1)[0][0]
+        assert hit["id"] == "late"
+        # beam path still works after reload (backlog links on demand)
+        idx2 = e2.indexes["idx"].index
+        dd, ii = idx2.search((X[0] + 10)[None], 1, mode="beam")
+        assert idx2.ids.row_to_ext[int(ii[0, 0])] == "late"
+        e2.close()
