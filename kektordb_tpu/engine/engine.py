@@ -148,19 +148,34 @@ class Engine:
                      precision: str = dist.F32, m: int = 16,
                      ef_construction: int = 200, ef_search: int = 100,
                      language: str = "english", kind: str = "hnsw",
-                     seed: int = 42, _journal: bool = True) -> None:
+                     seed: int = 42, shards: int = 0,
+                     serve_mode: str = "auto",
+                     _journal: bool = True) -> None:
         """VCREATE (ops.go VCreate). Duplicate names are an error
-        (api_contracts.json: duplicate index MUST 409)."""
+        (api_contracts.json: duplicate index MUST 409).
+
+        shards > 1 creates a row-sharded index over a device mesh
+        (parallel/sharded.py) — the multi-chip scaling surface; requires at
+        least that many visible devices."""
         with self._lock:
             if name in self.indexes:
                 raise KeyError(f"index already exists: {name}")
             if kind not in ("hnsw", "flat"):
                 raise ValueError(f"unknown index kind: {kind}")
+            if shards > 1:
+                import jax
+                if shards > len(jax.devices()):
+                    raise ValueError(
+                        f"shards={shards} but only {len(jax.devices())} "
+                        "devices are visible")
             cfg = HNSWConfig(m=m, ef_construction=ef_construction,
-                             ef_search=ef_search, seed=seed)
+                             ef_search=ef_search, seed=seed,
+                             serve_mode=serve_mode)
             # dimension is fixed lazily on first add, like the reference's
             # dim-on-first-insert; store a factory thunk
-            handle = IndexHandle(name, _LazyIndex(metric, precision, cfg),
+            handle = IndexHandle(name,
+                                 _LazyIndex(metric, precision, cfg,
+                                            kind=kind, shards=shards),
                                  language=language)
             self.indexes[name] = handle
             if _journal:
@@ -169,7 +184,10 @@ class Engine:
                                           "ef_construction": ef_construction,
                                           "ef_search": ef_search,
                                           "language": language,
-                                          "seed": seed}))
+                                          "seed": seed,
+                                          "kind": kind,
+                                          "shards": shards,
+                                          "serve_mode": serve_mode}))
 
     def drop_index(self, name: str, _journal: bool = True) -> None:
         with self._lock:
@@ -369,8 +387,16 @@ class Engine:
     def _ensure_materialized(self, h: IndexHandle, dim: int) -> None:
         """Dimension fixes on first insert (reference dim validation,
         ops.go:334-347)."""
-        if isinstance(h.index, _LazyIndex):
-            lazy = h.index
+        if not isinstance(h.index, _LazyIndex):
+            return
+        lazy = h.index
+        if lazy.kind == "flat":
+            h.index = BruteForceIndex(dim, lazy.metric, lazy.precision)
+        elif lazy.shards > 1:
+            from ..parallel.sharded import ShardedHNSW, make_mesh
+            h.index = ShardedHNSW(dim, lazy.metric, lazy.precision,
+                                  lazy.cfg, mesh=make_mesh(lazy.shards))
+        else:
             h.index = HNSWIndex(dim, lazy.metric, lazy.precision, lazy.cfg)
 
     def _stamp_memory(self, h: IndexHandle, meta: dict[str, Any]) -> None:
@@ -828,49 +854,29 @@ class Engine:
             "graph": _graph_to_state(self.graph),
             "indexes": {},
         }
+        from ..persist import index_io
         for name, h in self.indexes.items():
             idx = h.index
-            if hasattr(idx, "_stage_pending"):
-                # stage (scan-visible) but do not force graph linking: the
-                # unlinked backlog is persisted and drains after reload
-                idx._stage_pending()
-            elif hasattr(idx, "flush"):
-                idx.flush()
             if isinstance(idx, _LazyIndex):
                 state["indexes"][name] = {
                     "lazy": True, "metric": idx.metric,
                     "precision": idx.precision,
                     "config": asdict(idx.cfg),
+                    "kind": idx.kind, "shards": idx.shards,
                     "language": h.language,
                     "memory": _memory_to_state(h.memory),
                     "auto_links": [asdict(r) for r in h.auto_links],
                 }
                 continue
-            for leaf, val in idx.state._asdict().items():
-                arrays[f"{name}/{leaf}"] = np.asarray(val)
-            state["indexes"][name] = {
+            st = index_io.dump_index(idx, name, arrays)
+            st.update({
                 "lazy": False,
-                "metric": idx.metric, "precision": idx.precision,
-                "dim": idx.dim, "config": asdict(idx.config),
                 "language": h.language,
                 "memory": _memory_to_state(h.memory),
                 "auto_links": [asdict(r) for r in h.auto_links],
-                "ext_to_row": dict(idx.ids.ext_to_row),
-                "free": list(idx.ids.free),
-                "rows": len(idx.ids.row_to_ext),
-                "deleted_rows": list(idx._deleted_rows),
-                "up_free": list(idx._up_free),
-                "up_next": idx._up_next,
-                "max_level": idx._max_level,
-                "needs_refine": idx.needs_refine,
-                "serve_quantized": idx._serve_quantized,
-                "refine_cursor": idx._refine_cursor,
-                "unlinked": [[int(r), int(l)] for r, l in idx._unlinked],
-                "quantizer": {
-                    "abs_max": float(idx.quantizer.abs_max),
-                    "trained": bool(idx.quantizer.trained)},
                 "metadata": {int(r): m for r, m in h.meta.direct.items()},
-            }
+            })
+            state["indexes"][name] = st
         return arrays, state
 
     def _load_checkpoint(self) -> None:
@@ -881,40 +887,18 @@ class Engine:
         for k, v in (state.get("kv") or {}).items():
             self.kv.set(k, v)
         _graph_from_state(self.graph, state.get("graph") or {})
-        import jax.numpy as jnp
-
-        from ..index import hnsw_kernels as K
-        from ..ops import quantize as quant
+        from ..persist import index_io
         for name, st in (state.get("indexes") or {}).items():
-            cfg = HNSWConfig(**st["config"])
+            cfg = HNSWConfig(**st["config"]) if "config" in st else None
             if st.get("lazy"):
-                h = IndexHandle(name, _LazyIndex(st["metric"],
-                                                st["precision"], cfg),
+                h = IndexHandle(name,
+                                _LazyIndex(st["metric"], st["precision"],
+                                           cfg or HNSWConfig(),
+                                           kind=st.get("kind", "hnsw"),
+                                           shards=int(st.get("shards", 0))),
                                 language=st.get("language", "english"))
             else:
-                idx = HNSWIndex(st["dim"], st["metric"], st["precision"], cfg)
-                leaves = {leaf: jnp.asarray(arrays[f"{name}/{leaf}"])
-                          for leaf in K.GraphState._fields}
-                idx.state = K.GraphState(**leaves)
-                idx._cap = idx.state.vectors.shape[0]
-                idx._ucap = idx.state.up_node.shape[0]
-                idx.ids.ext_to_row = dict(st["ext_to_row"])
-                idx.ids.row_to_ext = [None] * st["rows"]
-                for e, r in idx.ids.ext_to_row.items():
-                    idx.ids.row_to_ext[r] = e
-                idx.ids.free = list(st["free"])
-                idx._deleted_rows = set(int(r) for r in st["deleted_rows"])
-                idx._up_free = list(st["up_free"])
-                idx._up_next = int(st["up_next"])
-                idx._max_level = int(st["max_level"])
-                idx.needs_refine = bool(st["needs_refine"])
-                idx._serve_quantized = bool(st.get("serve_quantized", False))
-                idx._refine_cursor = int(st.get("refine_cursor", 0))
-                idx._unlinked = [(int(r), int(l))
-                                 for r, l in st.get("unlinked") or []]
-                idx.quantizer = quant.QuantizerState(
-                    abs_max=jnp.float32(st["quantizer"]["abs_max"]),
-                    trained=jnp.asarray(bool(st["quantizer"]["trained"])))
+                idx = index_io.load_index(st, arrays, name)
                 h = IndexHandle(name, idx,
                                 language=st.get("language", "english"))
                 for r, m in (st.get("metadata") or {}).items():
@@ -1065,7 +1049,8 @@ class _LazyIndex:
     """Placeholder until the first vector fixes the dimension (the reference
     also validates dim on insert, ops.go:334-347)."""
 
-    def __init__(self, metric: str, precision: str, cfg: HNSWConfig):
+    def __init__(self, metric: str, precision: str, cfg: HNSWConfig,
+                 kind: str = "hnsw", shards: int = 0):
         # validate combos eagerly (hnsw_index.go:187-213)
         if precision == dist.BF16 and metric != dist.L2:
             raise ValueError("bfloat16 precision supports only euclidean")
@@ -1074,6 +1059,8 @@ class _LazyIndex:
         self.metric = metric
         self.precision = precision
         self.cfg = cfg
+        self.kind = kind
+        self.shards = shards
         self.dim = 0
         self.config = cfg
         self.needs_refine = False

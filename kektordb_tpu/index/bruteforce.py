@@ -67,7 +67,10 @@ class BruteForceIndex:
     def add(self, ext_id: str, vector: np.ndarray) -> None:
         self.add_batch([ext_id], np.asarray(vector)[None, :])
 
-    def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray) -> None:
+    def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray,
+                  **_) -> None:
+        """Extra kwargs (fast/link) are HNSW build hints — meaningless for a
+        flat arena, accepted for engine-surface compatibility."""
         vectors = np.asarray(vectors, np.float32)
         if vectors.shape != (len(ext_ids), self.dim):
             raise ValueError(
@@ -87,6 +90,15 @@ class BruteForceIndex:
         row = self.ids.release(ext_id)
         self._valid[row] = False
         return True
+
+    def get_vector(self, ext_id: str) -> Optional[np.ndarray]:
+        row = self.ids.get(ext_id)
+        if row is None:
+            return None
+        v = np.asarray(self._vectors[row])
+        if self.precision == dist.INT8:
+            v = v.astype(np.float32) * (float(self.quantizer.abs_max) / 127.0)
+        return v.astype(np.float32)
 
     # -- query ---------------------------------------------------------------
 

@@ -4,15 +4,25 @@ The reference is explicitly single-node ("KektorDB does not support
 clustering. It scales vertically", README.md:236); its only parallelism is Go
 shared-memory concurrency (SURVEY §2.7). The TPU rebuild adds true SPMD
 scaling: vectors are row-sharded into one sub-index per device, every query
-searches all shards in lockstep under `shard_map`, and the per-shard top-ef
+searches all shards in lockstep under `shard_map`, and the per-shard top-k
 results merge with an `all_gather` over ICI. Build is embarrassingly parallel:
 each device runs the chunk-insert kernels on its own shard. Max index size
 therefore scales linearly with chip count (SURVEY §5 "long context"
 equivalent).
+
+Engine-facing surface: ShardedHNSW exposes the same contract as HNSWIndex
+(global IDMap `ids`, `search(q, k, allow_rows=...) -> (dists, rows)` with
+*global* rows) so `Engine.create_index(..., shards=N)` can serve a sharded
+index through the ordinary HTTP/metadata/filter machinery.
+
+Serving runs the fused MXU scan per shard by default (ops/scan.py) — the
+per-shard arena is scanned locally and only [B, k] tops cross ICI; beam
+traversal remains available via mode="beam".
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -21,13 +31,19 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..index import hnsw_kernels as K
+from ..index.base import IDMap
 from ..index.hnsw import HNSWConfig, HNSWIndex
 from ..ops import distance as dist
+from ..ops import scan as scanlib
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "shards") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"requested {n} shards but only {len(devs)} devices are "
+            "visible (set XLA_FLAGS=--xla_force_host_platform_device_count)")
     return Mesh(np.array(devs[:n]), (axis,))
 
 
@@ -36,11 +52,12 @@ def _stack_states(states: Sequence[K.GraphState]) -> K.GraphState:
 
 
 class ShardedHNSW:
-    """Row-sharded HNSW over a device mesh.
+    """Row-sharded HNSW/scan index over a device mesh.
 
-    Each shard is a full HNSWIndex (hosting its own ID map); global external
-    IDs are assigned round-robin to shards. `search` runs one SPMD program:
-    per-shard beam search + cross-shard top-k merge over the mesh axis.
+    Each shard is a full HNSWIndex with its own local ID map; a global IDMap
+    assigns stable *global rows* (gids) used by the engine for metadata and
+    filters. `search` runs one SPMD program per batch: per-shard fused scan
+    (or beam) + cross-shard top-k merge over the mesh axis.
     """
 
     def __init__(self, dim: int, metric: str = dist.L2,
@@ -53,44 +70,117 @@ class ShardedHNSW:
         self.dim = dim
         self.metric = metric
         self.precision = precision
-        cfg = config or HNSWConfig()
+        self.config = config or HNSWConfig()
         self.shards = [
             HNSWIndex(dim, metric, precision,
-                      HNSWConfig(**{**cfg.__dict__, "seed": cfg.seed + s}))
+                      HNSWConfig(**{**self.config.__dict__,
+                                    "seed": self.config.seed + s}))
             for s in range(self.n_shards)
         ]
-        self._shard_of: dict[str, int] = {}
+        self.ids = IDMap()                      # global ext -> gid
+        self._loc_shard = np.full(4096, -1, np.int8)   # gid -> shard
+        self._loc_row = np.full(4096, -1, np.int32)    # gid -> local row
+        self.quantizer = self.shards[0].quantizer
+        self.needs_refine = False
 
     def __len__(self) -> int:
-        return sum(len(s) for s in self.shards)
+        return len(self.ids)
 
-    # -- write path: round-robin scatter, per-shard chunked build ------------
+    @property
+    def deleted_count(self) -> int:
+        return sum(s.deleted_count for s in self.shards)
+
+    @property
+    def _cap(self) -> int:
+        """Global-row (gid) capacity — engine allow-masks size to this."""
+        return self._loc_shard.size
+
+    def _grow_loc(self, need: int) -> None:
+        if need <= self._loc_shard.size:
+            return
+        n = self._loc_shard.size
+        while n < need:
+            n *= 2
+        self._loc_shard = np.concatenate(
+            [self._loc_shard, np.full(n - self._loc_shard.size, -1, np.int8)])
+        self._loc_row = np.concatenate(
+            [self._loc_row, np.full(n - self._loc_row.size, -1, np.int32)])
+
+    def _register(self, ext_id: str, shard: int) -> None:
+        gid = self.ids.alloc(ext_id)
+        self._grow_loc(gid + 1)
+        self._loc_shard[gid] = shard
+        self._loc_row[gid] = self.shards[shard].ids.ext_to_row[ext_id]
+
+    # -- write path: hash scatter, per-shard chunked build -------------------
 
     def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray,
-                  fast: bool = False) -> None:
+                  fast: bool = False, link: Optional[bool] = None) -> None:
         vectors = np.asarray(vectors, np.float32)
+        seen = set()
+        for e in ext_ids:
+            if e in self.ids or e in seen:
+                raise KeyError(f"id already present: {e}")
+            seen.add(e)
         buckets: list[list[int]] = [[] for _ in range(self.n_shards)]
         for j, e in enumerate(ext_ids):
-            s = hash(e) % self.n_shards
-            self._shard_of[e] = s
-            buckets[s].append(j)
+            buckets[hash(e) % self.n_shards].append(j)
         for s, rows in enumerate(buckets):
             if rows:
-                self.shards[s].add_batch([ext_ids[j] for j in rows],
-                                         vectors[rows], fast=fast)
+                block = [ext_ids[j] for j in rows]
+                self.shards[s].add_batch(block, vectors[rows], fast=fast,
+                                         link=link)
+                for e in block:
+                    self._register(e, s)
 
     def add(self, ext_id: str, vector: np.ndarray) -> None:
+        if ext_id in self.ids:
+            raise KeyError(f"id already present: {ext_id}")
         s = hash(ext_id) % self.n_shards
-        self._shard_of[ext_id] = s
         self.shards[s].add(ext_id, vector)
+        self._register(ext_id, s)
 
     def delete(self, ext_id: str) -> bool:
-        s = self._shard_of.pop(ext_id, None)
-        if s is None:
+        gid = self.ids.get(ext_id)
+        if gid is None:
             return False
-        return self.shards[s].delete(ext_id)
+        s = int(self._loc_shard[gid])
+        ok = self.shards[s].delete(ext_id)
+        if ok:
+            self.ids.release(ext_id)
+            self._loc_shard[gid] = -1
+            self._loc_row[gid] = -1
+        return ok
 
-    # -- query path: one SPMD program over the mesh ---------------------------
+    def get_vector(self, ext_id: str):
+        gid = self.ids.get(ext_id)
+        if gid is None:
+            return None
+        return self.shards[int(self._loc_shard[gid])].get_vector(ext_id)
+
+    def flush(self) -> None:
+        for s in self.shards:
+            s.flush()
+
+    def _stage_pending(self) -> None:
+        for s in self.shards:
+            s._stage_pending()
+
+    def run_maintenance_cycle(self) -> str:
+        return ";".join(s.run_maintenance_cycle() for s in self.shards)
+
+    def compress_serving(self, dtype: str = "bfloat16") -> None:
+        for s in self.shards:
+            s.compress_serving(dtype)
+
+    @property
+    def _serve_quantized(self) -> bool:
+        return self.shards[0]._serve_quantized
+
+    def vacuum(self) -> int:
+        return sum(s.vacuum() for s in self.shards)
+
+    # -- query path: one SPMD program over the mesh --------------------------
 
     def _equalize_caps(self) -> None:
         cap = max(s._cap for s in self.shards)
@@ -100,24 +190,90 @@ class ShardedHNSW:
                 s.state = K.grow_state(s.state, cap, ucap)
                 s._cap, s._ucap = cap, ucap
 
+    def _shard_allow(self, allow_rows: np.ndarray) -> np.ndarray:
+        """Global allow (bool [G] over gids, or gid list) → [S, cap] masks."""
+        cap = self.shards[0]._cap
+        masks = np.zeros((self.n_shards, cap), bool)
+        a = np.asarray(allow_rows)
+        if a.dtype == bool:
+            sel = np.nonzero(a[: self._loc_shard.size])[0]
+        else:
+            sel = a[a >= 0]
+        sel = sel[(self._loc_shard[sel] >= 0)]
+        masks[self._loc_shard[sel], self._loc_row[sel]] = True
+        return masks
+
     def search(self, queries: np.ndarray, k: int, *,
-               ef: Optional[int] = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Returns (dists [B,k], shard [B,k], row [B,k]); -1 pads."""
-        for s in self.shards:
-            s.flush()
+               ef: Optional[int] = None,
+               allow_rows: Optional[np.ndarray] = None,
+               mode: Optional[str] = None,
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Engine-facing: (dists [B,k], global rows [B,k]; -1 pads)."""
+        d, sh, rows = self._search_raw(queries, k, ef=ef,
+                                       allow_rows=allow_rows, mode=mode)
+        gids = np.full_like(rows, -1)
+        for b in range(rows.shape[0]):
+            for j in range(rows.shape[1]):
+                s, r = int(sh[b, j]), int(rows[b, j])
+                if r >= 0:
+                    ext = self.shards[s].ids.row_to_ext[r] \
+                        if r < len(self.shards[s].ids.row_to_ext) else None
+                    if ext is not None:
+                        g = self.ids.get(ext)
+                        gids[b, j] = -1 if g is None else g
+        return d, gids
+
+    def _search_raw(self, queries: np.ndarray, k: int, *,
+                    ef: Optional[int] = None,
+                    allow_rows: Optional[np.ndarray] = None,
+                    mode: Optional[str] = None,
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (dists [B,k], shard [B,k], local row [B,k]); -1 pads."""
+        use_scan = (mode or self.config.serve_mode) != "beam"
+        if use_scan:
+            self._stage_pending()
+        else:
+            self.flush()
         self._equalize_caps()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
-        ef = max(ef or self.shards[0].config.ef_search, k)
+        B = queries.shape[0]
+        if len(self.ids) == 0:
+            return (np.full((B, k), np.inf, np.float32),
+                    np.full((B, k), -1, np.int32),
+                    np.full((B, k), -1, np.int32))
         q, qn = self.shards[0]._encode(queries)
         stacked = _stack_states([s.state for s in self.shards])
-        dual = any(s._deleted_rows for s in self.shards)
-        d, sh, rows = _sharded_search(
-            self.mesh, self.axis, stacked, q, qn,
-            metric=self.metric, ef=ef, k=k, dual=dual)
+        allow_j = None
+        if allow_rows is not None:
+            allow_j = jnp.asarray(self._shard_allow(allow_rows))
+
+        if use_scan:
+            min_b = 32 if stacked.vectors.dtype == jnp.int8 else 16
+            Bp = min_b
+            while Bp < B:
+                Bp *= 2
+            if Bp != B:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
+                qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)])
+            d, sh, rows = _sharded_scan(
+                self.mesh, self.axis, stacked, allow_j, q, qn,
+                k=k, metric=self.metric,
+                mode="exact" if self.config.scan_exact else "approx",
+                has_allow=allow_j is not None)
+            d, sh, rows = d[:B], sh[:B], rows[:B]
+        else:
+            ef = max(ef or self.config.ef_search, k)
+            dual = any(s._deleted_rows for s in self.shards) \
+                or allow_j is not None
+            d, sh, rows = _sharded_search(
+                self.mesh, self.axis, stacked, allow_j, q, qn,
+                metric=self.metric, ef=ef, k=k, dual=dual,
+                has_allow=allow_j is not None)
         return np.asarray(d), np.asarray(sh), np.asarray(rows)
 
     def search_ids(self, queries: np.ndarray, k: int, **kw):
-        d, sh, rows = self.search(queries, k, **kw)
+        d, sh, rows = self._search_raw(queries, k, **kw)
         out = []
         for b in range(rows.shape[0]):
             hits = []
@@ -131,30 +287,63 @@ class ShardedHNSW:
         return out
 
 
+def _merge_tops(axis, d, i, k):
+    """all_gather + global top-k merge; returns (d, shard, row) [B, k]."""
+    d_all = jax.lax.all_gather(d[:, :k], axis)              # [S, B, k]
+    i_all = jax.lax.all_gather(i[:, :k], axis)
+    S, B, _ = d_all.shape
+    sids = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None, None], (S, B, k))
+    dm = jnp.moveaxis(d_all, 0, 1).reshape(B, S * k)
+    im = jnp.moveaxis(i_all, 0, 1).reshape(B, S * k)
+    sm = jnp.moveaxis(sids, 0, 1).reshape(B, S * k)
+    td, tp = jax.lax.top_k(-dm, k)
+    return (-td, jnp.take_along_axis(sm, tp, 1),
+            jnp.take_along_axis(im, tp, 1))
+
+
 def _sharded_search(mesh: Mesh, axis: str, stacked: K.GraphState,
-                    q: jax.Array, qn: jax.Array, *, metric: str,
-                    ef: int, k: int, dual: bool = False):
+                    allow: Optional[jax.Array], q: jax.Array, qn: jax.Array,
+                    *, metric: str, ef: int, k: int, dual: bool = False,
+                    has_allow: bool = False):
     """shard_map body: local beam search → all_gather → global top-k merge."""
 
-    def body(state_blk: K.GraphState, q, qn):
+    def body(state_blk: K.GraphState, allow_blk, q, qn):
         state = jax.tree.map(lambda x: x[0], state_blk)
-        d, i = K.beam_search(state, q, qn, metric=metric, ef=ef, dual=dual)
-        sid = jax.lax.axis_index(axis)
-        d_all = jax.lax.all_gather(d[:, :k], axis)          # [S, B, k]
-        i_all = jax.lax.all_gather(i[:, :k], axis)
-        S, B, _ = d_all.shape
-        sids = jnp.broadcast_to(
-            jnp.arange(S, dtype=jnp.int32)[:, None, None], (S, B, k))
-        dm = jnp.moveaxis(d_all, 0, 1).reshape(B, S * k)
-        im = jnp.moveaxis(i_all, 0, 1).reshape(B, S * k)
-        sm = jnp.moveaxis(sids, 0, 1).reshape(B, S * k)
-        td, tp = jax.lax.top_k(-dm, k)
-        return (-td, jnp.take_along_axis(sm, tp, 1),
-                jnp.take_along_axis(im, tp, 1))
+        a = allow_blk[0] if has_allow else None
+        d, i = K.beam_search(state, q, qn, metric=metric, ef=ef,
+                             allow=a, dual=dual)
+        return _merge_tops(axis, d, i, k)
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(), P()),
+        in_specs=(P(axis), P(axis) if has_allow else P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False)
-    return fn(stacked, q, qn)
+    if not has_allow:
+        allow = jnp.zeros((1,), bool)      # unused placeholder
+    return fn(stacked, allow, q, qn)
+
+
+def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
+                  allow: Optional[jax.Array], q: jax.Array, qn: jax.Array,
+                  *, k: int, metric: str, mode: str, has_allow: bool):
+    """shard_map body: local fused scan → all_gather → global top-k merge.
+    Only [B, k] tops cross ICI; the arenas never move."""
+
+    def body(state_blk: K.GraphState, allow_blk, q, qn):
+        state = jax.tree.map(lambda x: x[0], state_blk)
+        a = allow_blk[0] if has_allow else None
+        d, rows = scanlib.scan_search(
+            state.vectors, state.norms, state.levels, state.deleted, a,
+            q, qn, k, metric=metric, mode=mode, has_allow=has_allow)
+        return _merge_tops(axis, d, rows, k)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis) if has_allow else P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    if not has_allow:
+        allow = jnp.zeros((1,), bool)
+    return fn(stacked, allow, q, qn)

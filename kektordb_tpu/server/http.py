@@ -262,9 +262,14 @@ def make_app(engine: Engine, *,
                 ef_construction=int(b.get("ef_construction", 200)),
                 ef_search=int(b.get("ef_search", 100)),
                 language=b.get("text_language", "english"),
-                seed=int(b.get("seed", 42)))
+                seed=int(b.get("seed", 42)),
+                kind=b.get("kind", "hnsw"),
+                shards=int(b.get("shards", 0)),
+                serve_mode=b.get("serve_mode", "auto"))
         except KeyError as e:
             return _err(str(e).strip("'"), 409)
+        except ValueError as e:
+            return _err(str(e), 400)
         return _json({"status": "ok", "index": name})
 
     async def index_get(request):

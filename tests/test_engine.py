@@ -330,3 +330,26 @@ class TestDurabilityHardening:
         e2 = mk(tmp_path)
         assert sorted(e2.indexes["idx"].index.ids.ext_to_row) == ["a"]
         e2.close()
+
+
+class TestFlatKind:
+    def test_flat_index_lifecycle_and_persistence(self, tmp_path):
+        """kind="flat" (reference BruteForceIndex, vector_index.go:62-148)
+        through the engine, incl. checkpoint round-trip via index_io."""
+        e = mk(tmp_path)
+        e.create_index("f", kind="flat")
+        X = vecs(20, 8, seed=6)
+        e.add_batch("f", [f"x{i}" for i in range(20)], X,
+                    metadatas=[{"i": i} for i in range(20)])
+        assert e.search("f", X[7], k=1)[0][0]["id"] == "x7"
+        assert e.delete("f", "x7")
+        assert e.search("f", X[7], k=1)[0][0]["id"] != "x7"
+        e.save_snapshot()
+        e.close()
+        e2 = mk(tmp_path)
+        from kektordb_tpu.index.bruteforce import BruteForceIndex
+        assert isinstance(e2.indexes["f"].index, BruteForceIndex)
+        assert e2.search("f", X[5], k=1)[0][0]["id"] == "x5"
+        hits = e2.search("f", X[5], k=2, filter="i = 5")[0]
+        assert len(hits) == 1 and hits[0]["id"] == "x5"
+        e2.close()

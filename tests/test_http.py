@@ -298,3 +298,31 @@ def test_auth_enabled_server():
                             headers=ro).status_code == 401
     finally:
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_sharded_index_over_http(srv):
+    """create_index(shards=8) through the REST API, add + search + filter
+    (VCREATE shards → ShardedHNSW served end-to-end)."""
+    r = requests.post(srv.base + "/vector/indexes",
+                      json={"index_name": "http_sh", "m": 8, "shards": 8})
+    assert r.status_code == 200, r.text
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(96, 12)).astype(np.float32)
+    r = requests.post(srv.base + "/vector/actions/add-batch", json={
+        "index_name": "http_sh",
+        "vectors": [{"id": f"v{i}", "vector": X[i].tolist(),
+                     "metadata": {"par": i % 2}} for i in range(96)]})
+    assert r.status_code == 200, r.text
+    r = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_sh", "query_vector": X[13].tolist(), "k": 1})
+    assert r.status_code == 200, r.text
+    assert r.json()["results"][0]["id"] == "v13"
+    r = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_sh", "query_vector": X[13].tolist(), "k": 3,
+        "filter": "par = 0"})
+    assert r.status_code == 200, r.text
+    ids = [h["id"] for h in r.json()["results"]]
+    assert ids and all(int(i[1:]) % 2 == 0 for i in ids)
+    r = requests.post(srv.base + "/vector/indexes", json={
+        "index_name": "http_bad", "shards": 4096})
+    assert r.status_code == 400

@@ -65,3 +65,88 @@ def test_sharded_streaming_add(sharded):
     sh.add("fresh1", v)
     hits = sh.search_ids(v[None], 1)
     assert hits[0][0][0] == "fresh1"
+
+
+class TestEngineSharded:
+    """Sharded index served end-to-end through the Engine (VCREATE shards=N),
+    incl. filters, metadata, persistence — on the 8-virtual-device CPU mesh."""
+
+    def test_engine_sharded_lifecycle(self, tmp_path):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(800, 16)).astype(np.float32)
+        e = Engine(EngineConfig(data_dir=str(tmp_path),
+                                start_background=False)).open()
+        e.create_index("sh", m=8, shards=8)
+        e.add_batch("sh", [f"v{i}" for i in range(800)], X,
+                    metadatas=[{"grp": i % 4} for i in range(800)])
+        assert isinstance(e.indexes["sh"].index, ShardedHNSW)
+
+        # plain search hits the right vector
+        hit = e.search("sh", X[17], k=1)[0][0]
+        assert hit["id"] == "v17"
+
+        # filtered search respects metadata through global-gid allow masks
+        hits = e.search("sh", X[20], k=5, filter="grp = 0",
+                        include_metadata=True)[0]
+        assert hits and all(h["metadata"]["grp"] == 0 for h in hits)
+        assert hits[0]["id"] == "v20"   # 20 % 4 == 0
+
+        # delete
+        assert e.delete("sh", "v17")
+        assert e.search("sh", X[17], k=1)[0][0]["id"] != "v17"
+
+        # streaming add through the engine
+        e.add("sh", "fresh", X[0] + 30.0, {"grp": 9})
+        assert e.search("sh", X[0] + 30.0, k=1)[0][0]["id"] == "fresh"
+
+        # checkpoint + reload round-trip
+        e.save_snapshot()
+        e.close()
+        e2 = Engine(EngineConfig(data_dir=str(tmp_path),
+                                 start_background=False)).open()
+        idx2 = e2.indexes["sh"].index
+        assert isinstance(idx2, ShardedHNSW) and len(idx2) == 800
+        assert e2.search("sh", X[0] + 30.0, k=1)[0][0]["id"] == "fresh"
+        h2 = e2.search("sh", X[20], k=5, filter="grp = 0")[0]
+        assert h2 and h2[0]["id"] == "v20"
+        e2.close()
+
+    def test_engine_sharded_aof_replay(self, tmp_path):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        rng = np.random.default_rng(4)
+        X = rng.normal(size=(64, 8)).astype(np.float32)
+        e = Engine(EngineConfig(data_dir=str(tmp_path),
+                                start_background=False)).open()
+        e.create_index("sh", m=4, shards=4)
+        e.add_batch("sh", [f"v{i}" for i in range(64)], X)
+        e._aof.flush(fsync=True)
+        e._aof.close()          # simulate crash: no snapshot
+        e2 = Engine(EngineConfig(data_dir=str(tmp_path),
+                                 start_background=False)).open()
+        idx2 = e2.indexes["sh"].index
+        assert isinstance(idx2, ShardedHNSW)
+        assert e2.search("sh", X[5], k=1)[0][0]["id"] == "v5"
+        e2.close()
+
+
+def test_sharded_scan_filtered(sharded):
+    sh, oracle, X = sharded
+    allow = np.zeros(sh._cap, bool)
+    gids = [sh.ids.ext_to_row[f"v{i}"] for i in range(0, 4000, 10)
+            if f"v{i}" in sh.ids]
+    allow[gids] = True
+    d, rows = sh.search(X[:8], 5, allow_rows=allow)
+    ok = set(gids)
+    assert all(int(r) in ok or r < 0 for r in np.asarray(rows).ravel())
+
+
+def test_sharded_beam_mode(sharded):
+    sh, oracle, X = sharded
+    rng = np.random.default_rng(7)
+    Q = rng.normal(size=(32, 24)).astype(np.float32)
+    hits = sh.search_ids(Q, 10, mode="beam")
+    gd, gi = oracle.search(Q, 10)
+    total = sum(len({f"v{int(r)}" for r in gi[b] if r >= 0} &
+                    {h[0] for h in hits[b]}) for b in range(32))
+    assert total / 320 >= 0.85
