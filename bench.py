@@ -194,6 +194,23 @@ def main() -> None:
             extras[f"filtered_{sel}pct_allowed_only"] = bool(
                 ((i_f % frac == 0) | (i_f < 0)).all())
 
+        # served QPS: the full Engine.search path (filter machinery, lock,
+        # result assembly into per-hit dicts) — the number an HTTP client
+        # gets per sync'd batch; assembly overlaps device compute under the
+        # pipelining batcher
+        from kektordb_tpu.engine import Engine, EngineConfig
+        eng = Engine(EngineConfig(start_background=False)).open()
+        eng.create_index("bench", m=16)
+        eng.indexes["bench"].index = idx
+        _ = eng.search("bench", queries[:qbatch], k=10, decay=False)
+        t0 = time.time()
+        for j in range(4):
+            _ = eng.search("bench", queries[j * qbatch:(j + 1) * qbatch],
+                           k=10, decay=False)
+        extras["served_qps"] = round(4 * qbatch / (time.time() - t0), 1)
+        eng.indexes.pop("bench")
+        eng.close()
+
         # streaming inserts: two-stage visibility (stage on add, no graph
         # work on the hot path)
         scfg = HNSWConfig(m=16, ef_construction=200, ef_search=100,

@@ -52,6 +52,45 @@ def evaluate(expr: str, store: MetadataStore,
     return result & universe
 
 
+def evaluate_mask(expr: str, store: MetadataStore,
+                  live: "np.ndarray") -> "np.ndarray":
+    """Vectorized evaluation → bool mask [cap]. Same semantics as
+    `evaluate` but no Python sets on the hot path: each term materializes a
+    numpy bitset (cached posting arrays / searchsorted ranges) and clauses
+    combine with & / | (FindIDsByFilter's bitmap algebra, core.go:1695)."""
+    import numpy as np
+
+    expr = expr.strip()
+    if not expr:
+        return live.copy()
+    result = np.zeros(live.size, bool)
+    for clause in _OR_RE.split(expr):
+        acc = None
+        for term in _AND_RE.split(clause):
+            m = _CONTAINS_RE.match(term)
+            if m:
+                key = m.group(1)
+                needle = m.group(2) if m.group(2) is not None else m.group(3)
+                rows = store.contains_rows(key, needle)
+                tm = np.zeros(live.size, bool)
+                if rows:
+                    arr = np.fromiter(rows, np.int64, len(rows))
+                    tm[arr[arr < live.size]] = True
+            else:
+                mt = _TERM_RE.match(term)
+                if not mt:
+                    raise FilterError(f"cannot parse filter term: {term!r}")
+                key, op = mt.group(1), mt.group(2)
+                value = next(g for g in mt.groups()[2:] if g is not None)
+                tm = store.eval_term_mask(key, op, value, live)
+            acc = tm if acc is None else (acc & tm)
+            if not acc.any():
+                break
+        if acc is not None:
+            result |= acc
+    return result & live
+
+
 def _eval_term(term: str, store: MetadataStore,
                universe: set[int]) -> set[int]:
     m = _CONTAINS_RE.match(term)

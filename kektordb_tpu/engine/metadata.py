@@ -77,10 +77,35 @@ class NumericColumn:
         raise ValueError(op)
 
 
+class PostingSet(set):
+    """Row set with a lazily-cached numpy array — the roaring-bitmap analog
+    (core.go:944): incremental set mutation, vectorized mask materialization
+    at eval time."""
+
+    __slots__ = ("_arr",)
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self._arr: Optional[np.ndarray] = None
+
+    def add(self, x):                       # noqa: A003
+        super().add(x)
+        self._arr = None
+
+    def discard(self, x):
+        super().discard(x)
+        self._arr = None
+
+    def rows(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = np.fromiter(self, np.int64, len(self))
+        return self._arr
+
+
 class MetadataStore:
     def __init__(self, language: str = "english"):
         self.direct: dict[int, dict[str, Any]] = {}
-        self.inverted: dict[str, dict[str, set[int]]] = {}
+        self.inverted: dict[str, dict[str, PostingSet]] = {}
         self.numeric: dict[str, NumericColumn] = {}
         self.text = BM25Index(language)
 
@@ -96,7 +121,8 @@ class MetadataStore:
             if k == INDEXED_FIELDS_KEY:
                 continue
             sval = v if isinstance(v, str) else _stable_str(v)
-            self.inverted.setdefault(k, {}).setdefault(sval, set()).add(row)
+            self.inverted.setdefault(k, {}).setdefault(
+                sval, PostingSet()).add(row)
             num = _as_number(v)
             if num is not None:
                 self.numeric.setdefault(k, NumericColumn()).set(row, num)
@@ -147,6 +173,34 @@ class MetadataStore:
         if col is None:
             return set()
         return set(int(r) for r in col.range_rows(op, num))
+
+    def eval_term_mask(self, key: str, op: str, value: str,
+                       live: np.ndarray) -> np.ndarray:
+        """Vectorized term evaluation → bool mask [cap] (the device-bitset
+        analog of the reference's roaring AND/OR, SURVEY §7.1). `live` is
+        the mapped-rows bitset; `!=` includes missing-field rows
+        (core.go:1885-1922)."""
+        cap = live.size
+        mask = np.zeros(cap, bool)
+        if op in ("=", "!="):
+            ps = self.inverted.get(key, {}).get(value)
+            if ps is not None and len(ps):
+                rows = ps.rows()
+                rows = rows[rows < cap]
+                mask[rows] = True
+            if op == "!=":
+                mask = live & ~mask
+            return mask
+        num = _as_number(value)
+        if num is None:
+            return mask
+        col = self.numeric.get(key)
+        if col is None:
+            return mask
+        rows = col.range_rows(op, num)
+        rows = rows[rows < cap]
+        mask[rows] = True
+        return mask
 
     def contains_rows(self, key: str, needle: str) -> set[int]:
         """CONTAINS(field,'text') substring hook (core.go:1783)."""

@@ -24,6 +24,7 @@ class IDMap:
         self.ext_to_row: dict[str, int] = {}
         self.row_to_ext: list[str | None] = []
         self.free: list[int] = []
+        self._mask = np.zeros(1024, bool)   # live-row bitset (roaring analog)
 
     def __len__(self) -> int:
         return len(self.ext_to_row)
@@ -34,6 +35,22 @@ class IDMap:
     def get(self, ext: str) -> int | None:
         return self.ext_to_row.get(ext)
 
+    def _mask_set(self, row: int, val: bool) -> None:
+        if row >= self._mask.size:
+            n = self._mask.size
+            while n <= row:
+                n *= 2
+            self._mask = np.concatenate(
+                [self._mask, np.zeros(n - self._mask.size, bool)])
+        self._mask[row] = val
+
+    def live_mask(self, cap: int) -> np.ndarray:
+        """Bool [cap] of mapped rows — the vectorized `universe` for filter
+        evaluation (replaces building a Python set per request)."""
+        if self._mask.size < cap:
+            self._mask_set(cap - 1, False)
+        return self._mask[:cap]
+
     def alloc(self, ext: str) -> int:
         if ext in self.ext_to_row:
             raise KeyError(f"id already present: {ext}")
@@ -43,13 +60,35 @@ class IDMap:
         else:
             self.row_to_ext[row] = ext
         self.ext_to_row[ext] = row
+        self._mask_set(row, True)
         return row
 
     def release(self, ext: str) -> int:
         row = self.ext_to_row.pop(ext)
         self.row_to_ext[row] = None
         self.free.append(row)
+        self._mask_set(row, False)
         return row
+
+    def unmap(self, ext: str) -> int:
+        """Remove the mapping without freeing the row (soft delete: the row
+        still exists on device until vacuum reclaims it)."""
+        row = self.ext_to_row.pop(ext)
+        self.row_to_ext[row] = None
+        self._mask_set(row, False)
+        return row
+
+    def rebuild_mask(self) -> None:
+        """Recompute the live bitset after bulk-restoring the dicts
+        (checkpoint load paths assign ext_to_row directly)."""
+        n = 1024
+        while n < max(len(self.row_to_ext), 1):
+            n *= 2
+        m = np.zeros(n, bool)
+        if self.ext_to_row:
+            m[np.fromiter(self.ext_to_row.values(), np.int64,
+                          len(self.ext_to_row))] = True
+        self._mask = m
 
     def rows_of(self, exts: Sequence[str]) -> np.ndarray:
         return np.array([self.ext_to_row.get(e, -1) for e in exts], dtype=np.int32)

@@ -334,8 +334,7 @@ class HNSWIndex:
             self._pending_rows.discard(row)
             self.ids.release(ext_id)
             return True
-        del self.ids.ext_to_row[ext_id]
-        self.ids.row_to_ext[row] = None
+        self.ids.unmap(ext_id)
         self._deleted_rows.add(row)
         self.state = K.mark_deleted(self.state, jnp.asarray([row], jnp.int32))
         return True
@@ -540,7 +539,10 @@ class HNSWIndex:
             kf, metric=self.metric,
             mode="exact" if self.config.scan_exact else "approx",
             has_allow=allow is not None)
-        return np.asarray(d[:B, :k]), np.asarray(rows[:B, :k])
+        # one transfer for both results (each np.asarray would be its own
+        # device round-trip)
+        import jax
+        return jax.device_get((d[:B, :k], rows[:B, :k]))
 
     def compress_serving(self, dtype: str = "bfloat16") -> None:
         """Narrow the stored vectors for serving after a bulk build.

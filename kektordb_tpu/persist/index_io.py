@@ -98,6 +98,7 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
         for e, g in idx.ids.ext_to_row.items():
             idx.ids.row_to_ext[g] = e
         idx.ids.free = list(st["gid_free"])
+        idx.ids.rebuild_mask()
         idx._loc_shard = np.array(st["loc_shard"], np.int8)
         idx._loc_row = np.array(st["loc_row"], np.int32)
         return idx
@@ -141,3 +142,4 @@ def _restore_ids(idx, st: dict[str, Any]) -> None:
     for e, r in idx.ids.ext_to_row.items():
         idx.ids.row_to_ext[r] = e
     idx.ids.free = list(st["free"])
+    idx.ids.rebuild_mask()

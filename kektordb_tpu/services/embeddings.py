@@ -80,13 +80,25 @@ class HashingEmbedder(_Base):
 
 
 class MiniLMEmbedder(_Base):
-    """Flax MiniLM sentence encoder on the TPU (services/minilm.py)."""
+    """JAX MiniLM sentence encoder on the TPU (services/minilm.py).
+
+    Weight resolution order: explicit weights_dir → kektordb model cache
+    (services/download.py, torch-free safetensors load) → HF hub local
+    cache → optional network fetch when KEKTOR_ALLOW_DOWNLOAD=1."""
 
     name = "local"
 
-    def __init__(self, model_name: str = "sentence-transformers/all-MiniLM-L6-v2"):
+    def __init__(self,
+                 model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+                 weights_dir: Optional[str] = None):
+        from . import download
         from .minilm import MiniLMEncoder
-        self._enc = MiniLMEncoder(model_name)
+        if weights_dir is None:
+            weights_dir = download.local_model_dir(model_name)
+        if weights_dir is None \
+                and os.environ.get("KEKTOR_ALLOW_DOWNLOAD") == "1":
+            weights_dir = download.fetch_model(model_name)
+        self._enc = MiniLMEncoder(model_name, weights_dir=weights_dir)
         self.dim = self._enc.dim
 
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:

@@ -22,14 +22,52 @@ import numpy as np
 class MiniLMEncoder:
     MAX_LEN = 256
 
-    def __init__(self, model_name: str = "sentence-transformers/all-MiniLM-L6-v2"):
+    def __init__(self,
+                 model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+                 weights_dir: str | None = None):
+        """weights_dir: a directory with {model.safetensors, config.json,
+        tokenizer.json} (the output of services.download.fetch_model) —
+        loaded torch-free via safetensors+tokenizers. Without it, falls back
+        to a locally-cached HF checkpoint (zero-egress safe)."""
         self.model_name = model_name
+        self.weights_dir = weights_dir
         self._load()
 
     def _load(self) -> None:
+        if self.weights_dir:
+            self._load_from_dir(self.weights_dir)
+        else:
+            self._load_from_hf_cache()
+        self._fwd = jax.jit(functools.partial(
+            _bert_forward, n_layers=self.n_layers, n_heads=self.n_heads))
+
+    def _load_from_dir(self, d: str) -> None:
+        """Torch-free load path: safetensors weights + tokenizers tokenizer
+        (the analogue of the reference's Candle loader, embedder.rs:34-74)."""
+        import json
+        import os
+
+        from safetensors import numpy as st_np
+        from tokenizers import Tokenizer
+
+        with open(os.path.join(d, "config.json")) as f:
+            cfg = json.load(f)
+        raw = st_np.load_file(os.path.join(d, "model.safetensors"))
+        self.params = {k: jnp.asarray(v) for k, v in raw.items()}
+        tk = Tokenizer.from_file(os.path.join(d, "tokenizer.json"))
+        tk.enable_truncation(self.MAX_LEN)
+        tk.enable_padding(length=None)   # pad to longest in batch
+        self._hf_tokenizer = None
+        self._tk = tk
+        self.n_layers = cfg["num_hidden_layers"]
+        self.n_heads = cfg["num_attention_heads"]
+        self.dim = cfg["hidden_size"]
+
+    def _load_from_hf_cache(self) -> None:
         from transformers import AutoConfig, AutoModel, AutoTokenizer
-        self.tokenizer = AutoTokenizer.from_pretrained(
+        self._hf_tokenizer = AutoTokenizer.from_pretrained(
             self.model_name, local_files_only=True)
+        self._tk = None
         cfg = AutoConfig.from_pretrained(self.model_name,
                                          local_files_only=True)
         torch_model = AutoModel.from_pretrained(self.model_name,
@@ -41,19 +79,99 @@ class MiniLMEncoder:
         self.n_layers = cfg.num_hidden_layers
         self.n_heads = cfg.num_attention_heads
         self.dim = cfg.hidden_size
+
+    @classmethod
+    def from_params(cls, params: dict, tokenize_fn, *, n_layers: int,
+                    n_heads: int, dim: int) -> "MiniLMEncoder":
+        """Build from explicit params + tokenizer callable (tests /
+        programmatic weights). tokenize_fn(texts) must return
+        (input_ids [B,T] int32, attention_mask [B,T] f32)."""
+        self = cls.__new__(cls)
+        self.model_name = "custom"
+        self.weights_dir = None
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self._hf_tokenizer = None
+        self._tk = None
+        self._custom_tokenize = tokenize_fn
+        self.n_layers = n_layers
+        self.n_heads = n_heads
+        self.dim = dim
         self._fwd = jax.jit(functools.partial(
-            _bert_forward, n_layers=self.n_layers, n_heads=self.n_heads))
+            _bert_forward, n_layers=n_layers, n_heads=n_heads))
+        return self
+
+    @staticmethod
+    def random_params(vocab_size: int = 1024, dim: int = 384,
+                      n_layers: int = 6, n_heads: int = 12,
+                      intermediate: int = 1536, max_pos: int = 512,
+                      seed: int = 0) -> dict:
+        """Architecture-correct random weights (MiniLM-L6 shapes by
+        default) — proves the on-device forward end-to-end without the
+        pretrained checkpoint (zero-egress environments)."""
+        rng = np.random.default_rng(seed)
+
+        def w(*shape):
+            return (rng.normal(size=shape) * 0.02).astype(np.float32)
+
+        p = {
+            "embeddings.word_embeddings.weight": w(vocab_size, dim),
+            "embeddings.position_embeddings.weight": w(max_pos, dim),
+            "embeddings.token_type_embeddings.weight": w(2, dim),
+            "embeddings.LayerNorm.weight": np.ones(dim, np.float32),
+            "embeddings.LayerNorm.bias": np.zeros(dim, np.float32),
+        }
+        for i in range(n_layers):
+            pre = f"encoder.layer.{i}."
+            for nm, shape in (
+                    ("attention.self.query", (dim, dim)),
+                    ("attention.self.key", (dim, dim)),
+                    ("attention.self.value", (dim, dim)),
+                    ("attention.output.dense", (dim, dim)),
+                    ("intermediate.dense", (intermediate, dim)),
+                    ("output.dense", (dim, intermediate))):
+                p[pre + nm + ".weight"] = w(*shape)
+                p[pre + nm + ".bias"] = np.zeros(shape[0], np.float32)
+            for nm in ("attention.output.LayerNorm", "output.LayerNorm"):
+                p[pre + nm + ".weight"] = np.ones(dim, np.float32)
+                p[pre + nm + ".bias"] = np.zeros(dim, np.float32)
+        return p
 
     def reload(self) -> None:
         self._load()
 
+    def _tokenize(self, texts: list[str]):
+        if getattr(self, "_custom_tokenize", None) is not None:
+            return self._custom_tokenize(texts)
+        if self._tk is not None:
+            encs = self._tk.encode_batch(texts)
+            T = max(len(e.ids) for e in encs)
+            ids = np.zeros((len(encs), T), np.int32)
+            mask = np.zeros((len(encs), T), np.float32)
+            for i, e in enumerate(encs):
+                ids[i, : len(e.ids)] = e.ids
+                mask[i, : len(e.ids)] = e.attention_mask[: len(e.ids)]
+            return ids, mask
+        toks = self._hf_tokenizer(texts, padding="max_length",
+                                  truncation=True, max_length=self.MAX_LEN,
+                                  return_tensors="np")
+        return (toks["input_ids"].astype(np.int32),
+                toks["attention_mask"].astype(np.float32))
+
     def encode(self, texts: list[str]) -> np.ndarray:
-        toks = self.tokenizer(texts, padding="max_length",
-                              truncation=True, max_length=self.MAX_LEN,
-                              return_tensors="np")
-        out = self._fwd(self.params,
-                        jnp.asarray(toks["input_ids"], jnp.int32),
-                        jnp.asarray(toks["attention_mask"], jnp.float32))
+        ids, mask = self._tokenize(texts)
+        # pad T to a power of two so repeated lengths share compiled programs
+        T = ids.shape[1]
+        Tp = 8
+        while Tp < T:
+            Tp *= 2
+        Tp = min(Tp, self.MAX_LEN)
+        if Tp > T:
+            ids = np.pad(ids, ((0, 0), (0, Tp - T)))
+            mask = np.pad(mask, ((0, 0), (0, Tp - T)))
+        elif Tp < T:
+            ids, mask = ids[:, :Tp], mask[:, :Tp]
+        out = self._fwd(self.params, jnp.asarray(ids, jnp.int32),
+                        jnp.asarray(mask, jnp.float32))
         return np.asarray(out)
 
 
