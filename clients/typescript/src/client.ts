@@ -6,50 +6,19 @@
  * (index_name, query_vector, relation_type, ...).
  */
 
-export class KektorDBError extends Error {
-  constructor(public status: number, message: string) {
-    super(`HTTP ${status}: ${message}`);
-    this.name = "KektorDBError";
-  }
-}
+import { KektorDBError, errorForStatus } from "./errors";
+import type {
+  CreateIndexOptions,
+  EdgeInfo,
+  IndexInfo,
+  SearchHit,
+  SearchOptions,
+  SearchResponse,
+  VectorItem,
+} from "./types";
 
-export interface SearchHit {
-  id: string;
-  score?: number;
-  distance?: number;
-  metadata?: Record<string, unknown>;
-  edges?: EdgeInfo[];
-}
-
-export interface EdgeInfo {
-  relation: string;
-  target: string;
-  weight?: number;
-  props?: Record<string, unknown>;
-}
-
-export interface SearchOptions {
-  filter?: string;
-  textQuery?: string;
-  alpha?: number;
-  efSearch?: number;
-  graphFilter?: { root_id: string; depth?: number; relation?: string };
-  hydrate?: boolean;
-  hydrateRelations?: boolean;
-}
-
-export interface IndexInfo {
-  name: string;
-  metric: string;
-  precision: string;
-  vector_count: number;
-}
-
-export interface VectorItem {
-  id: string;
-  vector: number[];
-  metadata?: Record<string, unknown>;
-}
+export { KektorDBError } from "./errors";
+export type { EdgeInfo, IndexInfo, SearchHit, SearchOptions, VectorItem } from "./types";
 
 export class Task {
   constructor(private client: KektorDBClient, public id: string) {}
@@ -99,7 +68,7 @@ export class KektorDBClient {
       /* binary/text body */
     }
     if (resp.status >= 400) {
-      throw new KektorDBError(resp.status, data?.error ?? text);
+      throw errorForStatus(resp.status, data?.error ?? text, data);
     }
     return data;
   }
@@ -128,17 +97,7 @@ export class KektorDBClient {
 
   // -- indexes --------------------------------------------------------------
 
-  vcreate(
-    indexName: string,
-    opts: {
-      metric?: string;
-      precision?: string;
-      m?: number;
-      efConstruction?: number;
-      efSearch?: number;
-      textLanguage?: string;
-    } = {},
-  ): Promise<any> {
+  vcreate(indexName: string, opts: CreateIndexOptions = {}): Promise<any> {
     return this.post("/vector/actions/create", {
       index_name: indexName,
       metric: opts.metric ?? "euclidean",
@@ -147,6 +106,9 @@ export class KektorDBClient {
       ef_construction: opts.efConstruction ?? 200,
       ef_search: opts.efSearch ?? 100,
       text_language: opts.textLanguage ?? "english",
+      shards: opts.shards ?? 0,
+      kind: opts.kind ?? "hnsw",
+      serve_mode: opts.serveMode ?? "auto",
     });
   }
 

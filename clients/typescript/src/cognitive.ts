@@ -89,3 +89,113 @@ export class CognitiveSession {
     this.sessionId = null;
   }
 }
+
+/**
+ * Adaptive context assembly over the graph-aware retrieval endpoints
+ * (reference: pkg/client/cognitive/adaptive.go behavior — seed search,
+ * graph expansion, token-budgeted assembly with provenance).
+ */
+export class ContextAssembler {
+  private session: CognitiveSession | null = null;
+
+  constructor(
+    private client: KektorDBClient,
+    private index = "mcp_memory",
+    private embed?: (text: string) => Promise<number[]>,
+  ) {}
+
+  async assemble(
+    query: string,
+    opts: { tokenBudget?: number; k?: number; expandDepth?: number } = {},
+  ): Promise<{ context: string; sources: SearchHit[] }> {
+    if (!this.session) this.session = new CognitiveSession(this.client, this.index);
+    const budget = opts.tokenBudget ?? 2000;
+    const k = opts.k ?? 10;
+    const vec = await (this.embed
+      ? this.embed(query)
+      : (this.session as any).vector(query));
+    const seed = await this.client.vsearch(this.index, vec, k, {
+      textQuery: query,
+      hydrate: true,
+      hydrateRelations: (opts.expandDepth ?? 1) > 0,
+    });
+    const parts: string[] = [];
+    const sources: SearchHit[] = [];
+    let used = 0;
+    for (const h of seed.results) {
+      const content = String((h.metadata as any)?.content ?? "");
+      if (!content) continue;
+      const t = Math.max(Math.floor(content.length / 4), 1);
+      if (used + t > budget && parts.length) break;
+      used += t;
+      parts.push(`[${h.id}] ${content}`);
+      sources.push(h);
+    }
+    return { context: parts.join("\n\n"), sources };
+  }
+}
+
+export type AgentFn = (
+  input: string,
+  shared: Record<string, unknown>,
+) => Promise<string>;
+
+/**
+ * Multi-agent coordination with shared memory in KektorDB (reference:
+ * pkg/client/cognitive/multi_agent.go behavior — register agents, run them
+ * as a pipeline or in parallel, share state through the KV store).
+ */
+export class MultiAgentCoordinator {
+  private agents = new Map<string, AgentFn>();
+
+  constructor(
+    private client: KektorDBClient,
+    private namespace = "agents",
+  ) {}
+
+  register(name: string, fn: AgentFn): void {
+    this.agents.set(name, fn);
+  }
+
+  async setShared(key: string, value: unknown): Promise<void> {
+    await this.client.kvSet(
+      `${this.namespace}:shared:${key}`,
+      JSON.stringify(value),
+    );
+  }
+
+  async getShared<T = unknown>(key: string): Promise<T | null> {
+    try {
+      const raw = await this.client.kvGet(`${this.namespace}:shared:${key}`);
+      return JSON.parse(raw) as T;
+    } catch {
+      return null;
+    }
+  }
+
+  /** Run agents sequentially; each output feeds the next input. */
+  async pipeline(names: string[], input: string): Promise<string> {
+    let cur = input;
+    const shared: Record<string, unknown> = {};
+    for (const n of names) {
+      const fn = this.agents.get(n);
+      if (!fn) throw new Error(`unknown agent: ${n}`);
+      cur = await fn(cur, shared);
+      await this.setShared(`last:${n}`, cur);
+    }
+    return cur;
+  }
+
+  /** Run agents concurrently on the same input. */
+  async parallel(names: string[], input: string): Promise<Record<string, string>> {
+    const shared: Record<string, unknown> = {};
+    const entries = await Promise.all(
+      names.map(async (n) => {
+        const fn = this.agents.get(n);
+        if (!fn) throw new Error(`unknown agent: ${n}`);
+        return [n, await fn(input, shared)] as const;
+      }),
+    );
+    return Object.fromEntries(entries);
+  }
+}

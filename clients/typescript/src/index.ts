@@ -1,3 +1,33 @@
-export { KektorDBClient, KektorDBError, Task } from "./client";
-export type { SearchHit, SearchOptions, IndexInfo, VectorItem, EdgeInfo } from "./client";
-export { CognitiveSession } from "./cognitive";
+export { KektorDBClient, Task } from "./client";
+export {
+  KektorDBError,
+  ValidationError,
+  AuthError,
+  NotFoundError,
+  ConflictError,
+  ServerError,
+  errorForStatus,
+} from "./errors";
+export {
+  CognitiveSession,
+  ContextAssembler,
+  MultiAgentCoordinator,
+} from "./cognitive";
+export type {
+  SearchHit,
+  SearchResponse,
+  SearchOptions,
+  CreateIndexOptions,
+  IndexInfo,
+  VectorItem,
+  EdgeInfo,
+  IncomingEdgeInfo,
+  GraphFilter,
+  MemoryConfig,
+  LayerConfig,
+  SubgraphResponse,
+  BeliefState,
+  TaskStatus,
+  ApiKeyInfo,
+  SystemStats,
+} from "./types";
