@@ -49,6 +49,45 @@ class ProxyConfig:
     rag_token_budget: int = 2000
     cqr_enabled: bool = False              # query rewriting (fast LLM)
     hyde_enabled: bool = False             # grounded HyDE (smart LLM)
+    asset_base_url: str = ""               # rewrite kektor-asset:// URLs
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ProxyConfig":
+        """Load proxy.yaml (pkg/proxy/config_loader.go:103). Unknown keys
+        are ignored; KEKTOR_PROXY_* env vars override file values."""
+        import os
+
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        # accept both flat keys and the reference's nested sections
+        flat: dict[str, Any] = {}
+        for k, v in raw.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    flat[f"{k}_{k2}"] = v2
+                    flat[k2] = v2
+            else:
+                flat[k] = v
+        known = {f.name for f in cls.__dataclass_fields__.values()}
+        kw = {k: v for k, v in flat.items() if k in known}
+        cfg = cls(**kw)
+        for f in cls.__dataclass_fields__.values():
+            env = os.environ.get(f"KEKTOR_PROXY_{f.name.upper()}")
+            if env is not None:
+                cur = getattr(cfg, f.name)
+                if isinstance(cur, bool):
+                    setattr(cfg, f.name, env.lower() in ("1", "true", "yes"))
+                elif isinstance(cur, float):
+                    setattr(cfg, f.name, float(env))
+                elif isinstance(cur, int):
+                    setattr(cfg, f.name, int(env))
+                elif isinstance(cur, list):
+                    setattr(cfg, f.name, [s for s in env.split(",") if s])
+                else:
+                    setattr(cfg, f.name, env)
+        return cfg
 
 
 class AIGateway:
@@ -195,6 +234,11 @@ class AIGateway:
         chunks = [(h.get("metadata") or {}).get("content", "")
                   for h in hits]
         text = "\n\n".join(c for c in chunks if c)
+        if text and cfg.asset_base_url:
+            # asset URL rewriting (proxy.go:503-727): internal asset refs
+            # become fetchable URLs for the upstream model
+            text = text.replace("kektor-asset://",
+                                cfg.asset_base_url.rstrip("/") + "/")
         return text or None
 
     # ------------------------------------------------------- request path
@@ -291,15 +335,47 @@ def make_gateway_app(gateway: AIGateway):
                 gateway.record_response(body, data)
             return web.json_response(data, status=upstream.status)
 
+    async def passthrough(request):
+        """Transparent upstream forwarding for non-chat OpenAI endpoints
+        (/v1/models, /v1/embeddings, ...)."""
+        headers = {}
+        if gateway.config.upstream_key:
+            headers["Authorization"] = \
+                f"Bearer {gateway.config.upstream_key}"
+        base = gateway.config.upstream_url.rstrip("/")
+        suffix = request.path[len("/v1"):]
+        url = base + suffix
+        data = await request.read()
+        if request.content_type == "application/json":
+            headers["Content-Type"] = "application/json"
+        async with aiohttp.ClientSession() as sess:
+            upstream = await sess.request(
+                request.method, url, data=data or None, headers=headers)
+            body_bytes = await upstream.read()
+            return web.Response(
+                body=body_bytes, status=upstream.status,
+                content_type=upstream.content_type)
+
     async def invalidate(request):
         gateway.cache_invalidate()
         return web.json_response({"status": "ok"})
 
+    async def vacuum(request):
+        return web.json_response({"removed": gateway.cache_vacuum()})
+
     async def stats(request):
         return web.json_response(gateway.stats)
 
+    async def healthz(request):
+        return web.json_response({"status": "ok"})
+
     app = web.Application()
     app.router.add_post("/v1/chat/completions", chat)
+    app.router.add_get("/v1/models", passthrough)
+    app.router.add_post("/v1/embeddings", passthrough)
+    app.router.add_post("/v1/completions", passthrough)
     app.router.add_post("/cache/invalidate", invalidate)
+    app.router.add_post("/cache/vacuum", vacuum)
     app.router.add_get("/stats", stats)
+    app.router.add_get("/healthz", healthz)
     return app

@@ -92,17 +92,24 @@ class PipelineConfig:
     glob: str = ""
     cli_loader: str = ""            # {{file_path}} template
     link_sequence: bool = True      # prev/next edges between chunks
+    extract_entities: bool = False  # entity graph enrichment
+    ocr_images: bool = False        # vision-LLM OCR for image files
 
 
 class VectorizerService:
     """Scan → load → split → embed → add_batch with prev/next graph links
     (pipeline.go:106-718). Triggered manually or by the background loop."""
 
+    IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".gif", ".webp")
+
     def __init__(self, engine, embedder,
-                 pipelines: Optional[list[PipelineConfig]] = None):
+                 pipelines: Optional[list[PipelineConfig]] = None,
+                 llm=None, vision_llm=None):
         self.engine = engine
         self.embedder = embedder
         self.pipelines = {p.name: p for p in (pipelines or [])}
+        self.llm = llm                  # entity extraction (optional)
+        self.vision_llm = vision_llm    # image OCR (optional)
         self._seen: dict[str, dict[str, float]] = {}
 
     def list(self) -> list[dict]:
@@ -136,7 +143,10 @@ class VectorizerService:
         return {"pipeline": p.name, "chunks": ingested}
 
     def ingest_file(self, p: PipelineConfig, path: str) -> int:
-        text = load_file(path, p.cli_loader or None)
+        if path.lower().endswith(self.IMAGE_EXTS):
+            text = self._ocr_image(p, path)
+        else:
+            text = load_file(path, p.cli_loader or None)
         if not text or not text.strip():
             return 0
         if p.index not in self.engine.indexes:
@@ -162,7 +172,74 @@ class VectorizerService:
                 if j == i + 1:
                     self.engine.link(p.index, cid, "next", nid,
                                      inverse="prev")
+        if p.extract_entities:
+            for i, cid in fresh:
+                self._link_entities(p.index, cid, chunks[i])
         return len(fresh)
+
+    # -- vision OCR (pipeline.go image path / loader_pdf_advanced.go) --------
+
+    def _ocr_image(self, p: PipelineConfig, path: str) -> Optional[str]:
+        """Image → text via the vision LLM; silently skipped when OCR is
+        disabled or no vision model is configured."""
+        if not p.ocr_images or self.vision_llm is None:
+            return None
+        import base64
+        try:
+            with open(path, "rb") as f:
+                b64 = base64.b64encode(f.read()).decode()
+            return self.vision_llm.chat_with_images(
+                "Transcribe all text in this image. Output only the "
+                "transcription.", "", [b64])
+        except Exception:
+            log.exception("vision OCR failed for %s", path)
+            return None
+
+    # -- entity extraction + auto-linking (pipeline.go:106-718) --------------
+
+    def _extract_entities(self, text: str) -> list[str]:
+        """LLM extraction when configured, deterministic fallback: repeated
+        capitalized phrases (the reference's LLM prompt distilled to a
+        heuristic so enrichment works without any model)."""
+        if self.llm is not None:
+            try:
+                out = self.llm.chat(
+                    "Extract the named entities (people, organizations, "
+                    "places, products) from the text. Reply with a JSON "
+                    "array of strings, nothing else.", text[:4000])
+                import json as _json
+                ents = _json.loads(out[out.index("["): out.rindex("]") + 1])
+                return [str(e).strip() for e in ents if str(e).strip()][:16]
+            except Exception:
+                pass
+        import re
+        from collections import Counter
+        # multi-word capitalized phrases, or repeated capitalized words
+        phrases = re.findall(
+            r"\b(?:[A-Z][a-zA-Z0-9]+(?:\s+[A-Z][a-zA-Z0-9]+)+)\b", text)
+        singles = re.findall(r"(?<![.!?]\s)(?<!^)\b([A-Z][a-z]{2,})\b", text)
+        counts = Counter(singles)
+        ents = list(dict.fromkeys(phrases))
+        ents += [w for w, c in counts.items() if c >= 2 and w not in ents]
+        return ents[:16]
+
+    def _link_entities(self, index: str, chunk_id: str, text: str) -> None:
+        """Create/refresh zero-vector entity nodes and mention edges
+        (the reference's auto-linking: chunk -mentions-> entity with the
+        inverse mentioned_in)."""
+        for ent in self._extract_entities(text):
+            eid = "entity::" + ent.lower().replace(" ", "_")[:80]
+            h = self.engine.indexes[index]
+            if eid not in h.index.ids:
+                try:
+                    self.engine.add(index, eid,
+                                    self.embedder.embed(ent),
+                                    {"type": "entity", "name": ent,
+                                     "_pinned": True})
+                except KeyError:
+                    pass
+            self.engine.link(index, chunk_id, "mentions", eid,
+                             inverse="mentioned_in")
 
 
 def _glob_match(name: str, pattern: str) -> bool:

@@ -293,3 +293,88 @@ class TestMCP:
                                         "session_id": sid})
         assert len(out["memories"]) == 1
         assert svc.call("end_session", {"session_id": sid})["memories"] == 1
+
+
+class TestRagEnrichment:
+    """Entity extraction + auto-linking and vision-OCR hooks
+    (pipeline.go:106-718, loader_pdf_advanced.go)."""
+
+    def _mk(self, tmp_path, **pcfg):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        from kektordb_tpu.services.embeddings import HashingEmbedder
+        from kektordb_tpu.services.rag import PipelineConfig, \
+            VectorizerService
+        e = Engine(EngineConfig(start_background=False)).open()
+        p = PipelineConfig(name="docs", path=str(tmp_path), index="kb",
+                           chunk_size=2000, **pcfg)
+        return e, p
+
+    def test_entity_extraction_links_chunks(self, tmp_path):
+        from kektordb_tpu.services.embeddings import HashingEmbedder
+        from kektordb_tpu.services.rag import VectorizerService
+        (tmp_path / "note.txt").write_text(
+            "Alan Turing worked at Bletchley Park. Turing later moved to "
+            "Manchester University where Turing built early computers.")
+        e, p = self._mk(tmp_path, extract_entities=True)
+        svc = VectorizerService(e, HashingEmbedder(), [p])
+        out = svc.trigger("docs")
+        assert out["chunks"] >= 1
+        ents = [x for x in e.indexes["kb"].index.ids.ext_to_row
+                if x.startswith("entity::")]
+        assert "entity::alan_turing" in ents
+        assert "entity::bletchley_park" in ents
+        edges = e.get_edges("kb", "note.txt::chunk0", relation="mentions")
+        targets = {ed["target"] for ed in edges}
+        assert "entity::alan_turing" in targets
+        # inverse edge lets entities navigate back to their chunks
+        back = e.get_edges("kb", "entity::alan_turing",
+                           relation="mentioned_in")
+        assert any(b["target"].startswith("note.txt") for b in back)
+        e.close()
+
+    def test_llm_entity_extraction_preferred(self, tmp_path):
+        from kektordb_tpu.services.embeddings import HashingEmbedder
+        from kektordb_tpu.services.rag import VectorizerService
+
+        class FakeLLM:
+            def chat(self, system, user, **kw):
+                return '["KektorDB", "Tensor Processing Unit"]'
+
+        (tmp_path / "a.txt").write_text("some lowercase text about things")
+        e, p = self._mk(tmp_path, extract_entities=True)
+        svc = VectorizerService(e, HashingEmbedder(), [p], llm=FakeLLM())
+        svc.trigger("docs")
+        assert "entity::kektordb" in e.indexes["kb"].index.ids.ext_to_row
+        e.close()
+
+    def test_vision_ocr_ingests_images(self, tmp_path):
+        from kektordb_tpu.services.embeddings import HashingEmbedder
+        from kektordb_tpu.services.rag import VectorizerService
+
+        class FakeVision:
+            def __init__(self):
+                self.calls = []
+
+            def chat_with_images(self, system, user, images, **kw):
+                self.calls.append(len(images))
+                return "text transcribed from the screenshot"
+
+        (tmp_path / "shot.png").write_bytes(b"\x89PNG fakebytes")
+        vis = FakeVision()
+        e, p = self._mk(tmp_path, ocr_images=True)
+        svc = VectorizerService(e, HashingEmbedder(), [p], vision_llm=vis)
+        out = svc.trigger("docs")
+        assert out["chunks"] == 1 and vis.calls == [1]
+        hits = e.search("kb", HashingEmbedder().embed("transcribed"),
+                        k=1, include_metadata=True)[0]
+        assert "transcribed" in hits[0]["metadata"]["content"]
+        e.close()
+
+    def test_images_skipped_without_vision_llm(self, tmp_path):
+        from kektordb_tpu.services.embeddings import HashingEmbedder
+        from kektordb_tpu.services.rag import VectorizerService
+        (tmp_path / "shot.png").write_bytes(b"\x89PNG fakebytes")
+        e, p = self._mk(tmp_path, ocr_images=True)
+        svc = VectorizerService(e, HashingEmbedder(), [p])
+        assert svc.trigger("docs")["chunks"] == 0
+        e.close()
