@@ -19,9 +19,13 @@ def main(argv=None) -> int:
         prog="kektordb-tpu",
         description="TPU-native vector database / temporal knowledge graph")
     p.add_argument("mode", nargs="?", default="serve",
-                   choices=["serve", "mcp", "setup"],
+                   choices=["serve", "mcp", "setup", "tui"],
                    help="serve: HTTP REST (default); mcp: JSON-RPC stdio; "
-                        "setup: write agent MCP config")
+                        "setup: write agent MCP config; tui: terminal "
+                        "dashboard against a running server")
+    p.add_argument("--url", default=os.environ.get(
+        "KEKTOR_URL", "http://localhost:9091"),
+        help="tui mode: server base URL")
     p.add_argument("--port", type=int,
                    default=int(os.environ.get("KEKTOR_PORT", 9091)))
     p.add_argument("--host", default="0.0.0.0")
@@ -39,6 +43,10 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=getattr(logging, args.log_level.upper()),
         format="%(asctime)s %(levelname)s %(name)s %(message)s")
+
+    if args.mode == "tui":
+        from .client.tui import main as tui_main
+        return tui_main([args.url])
 
     if args.mode == "setup":
         from .server.setup import write_agent_config
