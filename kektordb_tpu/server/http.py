@@ -957,8 +957,12 @@ def make_app(engine: Engine, *,
         b = await body_of(request)
         return await vector_search(request)
 
+    async def ui_docs(request):
+        return web.FileResponse(os.path.join(ui_dir, "docs.html"))
+
     r.add_get("/ui", ui_index)
     r.add_get("/ui/", ui_index)
+    r.add_get("/ui/docs", ui_docs)
     r.add_post("/ui/explore", ui_explore)
     if os.path.isdir(ui_dir):
         r.add_static("/ui/static", ui_dir)

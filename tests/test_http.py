@@ -326,3 +326,20 @@ def test_sharded_index_over_http(srv):
     r = requests.post(srv.base + "/vector/indexes", json={
         "index_name": "http_bad", "shards": 4096})
     assert r.status_code == 400
+
+
+def test_web_ui_pages_served(srv):
+    """Dashboard + API explorer pages and the OpenAPI spec they consume
+    (reference: internal/server/ui dashboard + embedded swagger)."""
+    r = requests.get(srv.base + "/ui")
+    assert r.status_code == 200 and "KektorDB-TPU" in r.text
+    assert "graphCanvas" in r.text          # force-graph canvas present
+    assert "EventSource" in r.text          # SSE wiring present
+    r = requests.get(srv.base + "/ui/docs")
+    assert r.status_code == 200 and "openapi.json" in r.text
+    r = requests.get(srv.base + "/openapi.json")
+    assert r.status_code == 200
+    spec = r.json()
+    assert spec["openapi"].startswith("3.")
+    assert "/vector/actions/search" in spec["paths"]
+    assert len(spec["paths"]) >= 50
