@@ -142,6 +142,15 @@ class Gardener:
         for refl in found[: self.config.max_reflections_per_cycle]:
             if self._store_reflection(index, refl):
                 stored += 1
+        if self.config.mode in ("advanced", "meta"):
+            # epistemic adjudication of contested beliefs flagged by the
+            # contradiction detector (gardener.go:3277-3599)
+            try:
+                resolved = self.resolve_volatile_beliefs(index)
+                counts["belief_resolution"] = len(resolved)
+                stored += len(resolved)
+            except Exception:
+                log.exception("belief resolution failed")
         self._writes_since_think = 0
         self._last_think[index] = time.time()
         self._cycles += 1
@@ -539,3 +548,215 @@ class Gardener:
                 pass
         self.engine.kv_set(f"profile:{user_id}", json.dumps(prof))
         return prof
+
+    # ------------------------------------------- executable consolidation
+    # (the reference's advanced mode doesn't just DESCRIBE consolidation,
+    # it performs it: gardener.go:781-1288 merge flow)
+
+    def consolidate_cluster(self, index: str, ids: list[str],
+                            summary: Optional[str] = None,
+                            promote: bool = True) -> Optional[str]:
+        """Merge near-duplicate memories into one consolidated node:
+        new semantic-layer memory + 'consolidates' edges, members marked
+        historical (their decay accelerates; search prefers the merged
+        node). Returns the new memory id."""
+        e = self.engine
+        h = e._handle(index)
+        members = []
+        for mid in ids:
+            row = h.index.ids.get(mid)
+            if row is not None:
+                meta = h.meta.get(row) or {}
+                members.append((mid, meta))
+        if len(members) < 2:
+            return None
+        contents = [str(m.get("content", "")) for _, m in members]
+        if summary is None and self.llm is not None:
+            summary = self._llm_consolidate(contents)
+        if not summary:
+            # deterministic merge: longest content carries, others append
+            uniq = list(dict.fromkeys(c for c in contents if c))
+            summary = " ".join(uniq)[:800]
+        cid = f"cons_{uuid.uuid4().hex[:10]}"
+        vec = (self.embedder.embed(summary) if self.embedder is not None
+               else None)
+        if vec is None:
+            # centroid of member vectors
+            vecs = [h.index.get_vector(mid) for mid, _ in members]
+            vecs = [v for v in vecs if v is not None]
+            if not vecs:
+                return None
+            vec = np.mean(vecs, axis=0)
+        meta = {"content": summary, "type": "memory",
+                "consolidated_from": [mid for mid, _ in members],
+                "_pinned": True}
+        if promote:
+            meta[fusion.LAYER_KEY] = "semantic"
+        e.add(index, cid, np.asarray(vec, np.float32), meta)
+        for mid, _ in members:
+            e.link(index, cid, "consolidates", mid, inverse="consolidated_by")
+            try:
+                e.update_metadata(index, mid, {"_is_historical": True,
+                                               "_consolidated_into": cid})
+            except KeyError:
+                pass
+        return cid
+
+    def apply_reflection(self, index: str, reflection_id: str) -> dict:
+        """Execute the action a reflection proposes (consolidation today;
+        other kinds resolve with a note). Auto-resolves the reflection."""
+        h = self.engine._handle(index)
+        row = h.index.ids.get(reflection_id)
+        meta = (h.meta.get(row) or {}) if row is not None else {}
+        kind = meta.get("kind")
+        if kind == "consolidation":
+            # members are linked as "about" edges, not metadata
+            links = [ed["target"] for ed in
+                     self.engine.get_edges(index, reflection_id,
+                                           relation="about")]
+            cid = self.consolidate_cluster(index, links)
+            self.resolve(index, reflection_id,
+                         f"consolidated into {cid}" if cid
+                         else "no members to merge")
+            return {"action": "consolidated", "new_id": cid}
+        self.resolve(index, reflection_id, "acknowledged")
+        return {"action": "resolved"}
+
+    # -------------------------------------------- volatile-belief resolution
+    # (gardener.go:3277-3599: epistemic assessment -> LLM adjudication)
+
+    def resolve_volatile_beliefs(self, index: str,
+                                 max_nodes: int = 8) -> list[dict]:
+        """Assess contradiction-flagged memories with the epistemic engine;
+        contested/volatile ones get an adjudication reflection (LLM verdict
+        when available, otherwise evidence-weighted recommendation)."""
+        e = self.engine
+        out = []
+        seen: set[str] = set()
+        for refl in self.reflections(index):
+            if refl.get("kind") != "contradiction":
+                continue
+            for mid in str(refl.get("subject", "")).split("|"):
+                if not mid or mid in seen or len(out) >= max_nodes:
+                    continue
+                seen.add(mid)
+                try:
+                    b = e.belief_state(index, mid)
+                except KeyError:
+                    continue
+                state = b.get("state") if isinstance(b, dict) else \
+                    getattr(b, "state", None)
+                if state not in ("contested", "volatile"):
+                    continue
+                verdict = self._adjudicate(index, mid, b)
+                out.append(verdict)
+                self._store_reflection(index, {
+                    "kind": "belief_resolution", "subject": mid,
+                    "links": [mid],
+                    "content": verdict["recommendation"]})
+        return out
+
+    def _adjudicate(self, index: str, mid: str, belief) -> dict:
+        e = self.engine
+        h = e._handle(index)
+        row = h.index.ids.get(mid)
+        content = str((h.meta.get(row) or {}).get("content", "")) \
+            if row is not None else ""
+        attackers = [r["source"] for r in
+                     e.get_incoming_edges(index, mid)
+                     if r["relation"] in ("contradicts", "invalidates")]
+        rec = None
+        if self.llm is not None and attackers:
+            texts = []
+            for a in attackers[:3]:
+                arow = h.index.ids.get(a)
+                if arow is not None:
+                    texts.append(str((h.meta.get(arow) or {})
+                                     .get("content", ""))[:300])
+            try:
+                resp = self.llm.chat(
+                    "A belief is contested. Decide which statement is more "
+                    'likely current and reply JSON {"keep": "belief"|'
+                    '"challenger", "reason": "..."}.',
+                    f"belief: {content[:300]}\nchallengers: {texts}")
+                parsed = clean_llm_json(resp)
+                if isinstance(parsed, dict) and parsed.get("keep"):
+                    rec = (f"LLM adjudication: keep {parsed['keep']} — "
+                           f"{str(parsed.get('reason', ''))[:200]}")
+            except Exception:
+                pass
+        if rec is None:
+            conf = belief.get("confidence") if isinstance(belief, dict) \
+                else getattr(belief, "confidence", 0.0)
+            rec = (f"Belief '{mid}' is {belief.get('state') if isinstance(belief, dict) else getattr(belief, 'state', '?')} "
+                   f"(confidence {float(conf or 0):.2f}) with "
+                   f"{len(attackers)} challenger(s) — review and either "
+                   "evolve it (VEvolve) or unlink stale challengers.")
+        return {"id": mid, "recommendation": rec,
+                "challengers": attackers[:5]}
+
+    # ------------------------------------------------ session summarization
+    # (gardener.go:1563: roll a finished session into one summary memory)
+
+    def summarize_session(self, index: str, session_id: str,
+                          store: bool = True) -> Optional[dict]:
+        e = self.engine
+        h = e._handle(index)
+        members = []
+        for row, meta in h.meta.direct.items():
+            if meta.get("session_id") != session_id:
+                continue
+            if meta.get("type") in (REFLECTION_TYPE, "session_summary"):
+                continue
+            ext = h.index.ids.row_to_ext[row] \
+                if row < len(h.index.ids.row_to_ext) else None
+            if ext:
+                members.append((float(meta.get(fusion.CREATED_KEY) or 0),
+                                ext, str(meta.get("content", ""))))
+        if not members:
+            return None
+        members.sort()
+        contents = [c for _, _, c in members if c]
+        summary = None
+        if self.llm is not None:
+            try:
+                summary = self.llm.chat(
+                    "Summarize this agent session in 2-3 sentences, keeping "
+                    "decisions and open questions.",
+                    "\n".join(f"- {c[:200]}" for c in contents[:20]))
+                summary = (summary or "").strip()[:800] or None
+            except Exception:
+                summary = None
+        if not summary:
+            # deterministic: first + last + top recurring entities
+            from collections import Counter
+            from ..text.analyzer import analyze
+            counter = Counter()
+            for c in contents:
+                counter.update(set(analyze(c)))
+            top = ", ".join(w for w, _ in counter.most_common(5))
+            summary = (f"Session covered {len(members)} memories, from "
+                       f"\"{contents[0][:80]}\" to \"{contents[-1][:80]}\". "
+                       f"Recurring topics: {top}.")
+        out = {"session_id": session_id, "summary": summary,
+               "member_count": len(members),
+               "members": [m for _, m, _ in members][:20]}
+        if store:
+            sid = f"sess_sum_{session_id[:12]}"
+            if sid not in h.index.ids:
+                vec = (self.embedder.embed(summary)
+                       if self.embedder is not None else None)
+                if vec is None:
+                    vecs = [h.index.get_vector(m) for _, m, _ in members[:8]]
+                    vecs = [v for v in vecs if v is not None]
+                    vec = np.mean(vecs, axis=0) if vecs else None
+                if vec is not None:
+                    e.add(index, sid, np.asarray(vec, np.float32),
+                          {"content": summary, "type": "session_summary",
+                           "session_id": session_id, "_pinned": True,
+                           fusion.LAYER_KEY: "semantic"})
+                    for _, m, _ in members[:20]:
+                        e.link(index, sid, "summarizes", m,
+                               inverse="summarized_by")
+            out["summary_id"] = sid
+        return out
