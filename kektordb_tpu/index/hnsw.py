@@ -46,6 +46,10 @@ class HNSWConfig:
     # graph beam search (the gather-bound path; for N >> HBM regimes).
     serve_mode: str = "auto"
     scan_exact: bool = False         # exact top-k pass B (vs approx_min_k)
+    # "high": f32 arenas use HIGHEST-precision MXU dots (bf16x3) — honest
+    # near-exact recall; "fast": single bf16 pass, ~2x QPS, near-tie
+    # reordering on clustered data (measured recall 0.86-0.98 vs 0.997)
+    scan_precision: str = "high"
 
     def resolved_ml(self) -> float:
         return self.ml if self.ml > 0 else 1.0 / math.log(max(self.m, 2))
@@ -538,7 +542,8 @@ class HNSWIndex:
             qn if qn is not None else jnp.zeros((Bp,), jnp.float32),
             kf, metric=self.metric,
             mode="exact" if self.config.scan_exact else "approx",
-            has_allow=allow is not None)
+            has_allow=allow is not None,
+            fast=self.config.scan_precision == "fast")
         # one transfer for both results (each np.asarray would be its own
         # device round-trip)
         import jax

@@ -88,10 +88,14 @@ def pairwise(
 
     compute_t = corpus.dtype if corpus.dtype == jnp.bfloat16 else jnp.float32
     q = queries.astype(compute_t)
+    # f32 inputs force HIGHEST (bf16x3): the TPU MXU's default single bf16
+    # pass truncates operands — intolerable for an exact oracle
     dots = jax.lax.dot_general(
         q, corpus,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if compute_t == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
     )
     if metric == COSINE:
         return 1.0 - dots
@@ -134,6 +138,9 @@ def gathered(
         dots = jnp.einsum(
             "bcd,bd->bc", vecs.astype(compute_t), queries.astype(compute_t),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if compute_t == jnp.float32
+                       else jax.lax.Precision.DEFAULT),
         )
         if metric == COSINE:
             d = 1.0 - dots

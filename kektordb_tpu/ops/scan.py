@@ -49,15 +49,18 @@ from . import distance as dist
 G = 8  # group-min reduction factor (pass A output is N/G wide)
 
 
-def _tiles(B: int, N: int, int8: bool = False) -> tuple[int, int]:
-    """(BT, ST) tile sizes: BT divides B, ST divides N, W=ST/G lane-aligned."""
+def _tiles(B: int, N: int, int8: bool = False,
+           hi_prec: bool = False) -> tuple[int, int]:
+    """(BT, ST) tile sizes: BT divides B, ST divides N, W=ST/G lane-aligned.
+    The f32 HIGHEST-precision path (bf16x3 passes) needs a smaller score
+    tile to fit the VMEM scratch budget."""
     min_bt = 32 if int8 else 16   # int8 min sublane tile is 32
     BT = 512
     while BT > min_bt and B % BT:
         BT //= 2
     if B % BT:
         raise ValueError(f"batch {B} must be a multiple of {min_bt}")
-    ST = 4096
+    ST = 2048 if hi_prec else 4096
     while ST > 1024 and N % ST:
         ST //= 2
     if N % ST:
@@ -65,7 +68,7 @@ def _tiles(B: int, N: int, int8: bool = False) -> tuple[int, int]:
     return BT, ST
 
 
-def _make_kernel(BT: int, ST: int, int8: bool):
+def _make_kernel(BT: int, ST: int, int8: bool, hi_prec: bool):
     W = ST // G
 
     def kernel(q_ref, v_ref, biasA_ref, biasB_ref, gmin_ref, garg_ref):
@@ -74,9 +77,15 @@ def _make_kernel(BT: int, ST: int, int8: bool):
                 q_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
         else:
+            # f32 arenas need HIGHEST (bf16x3 passes): the MXU's default
+            # single bf16 pass truncates inputs, reordering near-ties —
+            # measured recall 0.86-0.98 vs 0.997 on clustered data. bf16
+            # arenas are exact in one pass for their storage precision.
             dots = jax.lax.dot_general(
                 q_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [BT, ST]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST if hi_prec
+                else jax.lax.Precision.DEFAULT)              # [BT, ST]
         scores = biasA_ref[:] - dots * biasB_ref[:]
         # strided group min via static lane slices (no relayout):
         # group j covers tile rows {j + m*W : m in [0, G)}
@@ -92,16 +101,17 @@ def _make_kernel(BT: int, ST: int, int8: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pass_a(q, vectors, biasA, biasB, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
+def _pass_a(q, vectors, biasA, biasB, *, interpret=False, fast=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, D = q.shape
     N = vectors.shape[0]
-    BT, ST = _tiles(B, N, vectors.dtype == jnp.int8)
+    hi_prec = vectors.dtype == jnp.float32 and not fast
+    BT, ST = _tiles(B, N, vectors.dtype == jnp.int8, hi_prec)
     W = ST // G
-    kernel = _make_kernel(BT, ST, vectors.dtype == jnp.int8)
+    kernel = _make_kernel(BT, ST, vectors.dtype == jnp.int8, hi_prec)
     return pl.pallas_call(
         kernel,
         grid=(B // BT, N // ST),
@@ -135,12 +145,16 @@ def _pass_a(q, vectors, biasA, biasB, *, interpret=False):
     )(q, vectors, biasA[None, :], biasB[None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exact", "interpret"))
-def _scan_pallas(q, vectors, biasA, biasB, k, exact, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "exact", "interpret", "fast"))
+def _scan_pallas(q, vectors, biasA, biasB, k, exact, interpret=False,
+                 fast=False):
     N = vectors.shape[0]
-    _, ST = _tiles(q.shape[0], N, vectors.dtype == jnp.int8)
+    hi_prec = vectors.dtype == jnp.float32 and not fast
+    _, ST = _tiles(q.shape[0], N, vectors.dtype == jnp.int8, hi_prec)
     W = ST // G
-    gmin, garg = _pass_a(q, vectors, biasA, biasB, interpret=interpret)
+    gmin, garg = _pass_a(q, vectors, biasA, biasB, interpret=interpret,
+                         fast=fast)
     if exact:
         nbd, bp = jax.lax.top_k(-gmin, k)
         bd = -nbd
@@ -177,7 +191,10 @@ def _scan_xla(q, vectors, biasA, biasB, k, block=16384):
         else:
             dots = jax.lax.dot_general(
                 q, blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
+                if vectors.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         scores = a[None, :] - dots * b[None, :]
         idx = start + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)[0]
         md = jnp.concatenate([cd, scores], axis=1)
@@ -253,7 +270,8 @@ def serving_bias(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "mode", "has_allow"))
+                   static_argnames=("k", "metric", "mode", "has_allow",
+                                    "fast"))
 def scan_search(
     vectors: jax.Array,    # [cap, D] storage dtype
     norms: jax.Array,      # [cap] f32
@@ -267,6 +285,7 @@ def scan_search(
     metric: str,
     mode: str = "approx",
     has_allow: bool = False,
+    fast: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """One fused program: bias computation + scan top-k + distance map.
     The index-level serving entry (replaces beam_search on the scan path).
@@ -277,7 +296,8 @@ def scan_search(
     biasA, biasB = serving_bias(vectors, norms, live, metric)
     is_int8 = vectors.dtype == jnp.int8
     if _use_pallas(vectors.shape[0]):
-        s, rows = _scan_pallas(q, vectors, biasA, biasB, k, mode == "exact")
+        s, rows = _scan_pallas(q, vectors, biasA, biasB, k, mode == "exact",
+                               fast=fast)
     else:
         s, rows = _scan_xla(q, vectors, biasA, biasB, k)
     d = scores_to_distances(s, q, qn, metric, is_int8)
