@@ -717,6 +717,42 @@ def make_app(engine: Engine, *,
         t = tasks.submit(f"think:{name}", lambda: gardener.think(name))
         return _json({"status": "accepted", "task_id": t.id}, 202)
 
+    async def reflection_apply(request):
+        """Execute a reflection's proposed action (consolidation merge)."""
+        if gardener is None:
+            return _err("gardener disabled", 404)
+        name, rid = request.match_info["name"], request.match_info["id"]
+        try:
+            out = await asyncio.to_thread(gardener.apply_reflection,
+                                          name, rid)
+        except KeyError as e:
+            return _err(str(e).strip("'"), 404)
+        return _json(out)
+
+    async def session_summarize(request):
+        """Roll a session's memories into one pinned summary node
+        (gardener.go:1563)."""
+        if gardener is None:
+            return _err("gardener disabled", 404)
+        b = await body_of(request)
+        name = b.get("index_name") or "mcp_memory"
+        sid = b.get("session_id") or request.match_info.get("sid")
+        if not sid:
+            raise ValueError("session_id required")
+        out = await asyncio.to_thread(gardener.summarize_session, name, sid)
+        if out is None:
+            return _err("no memories for session", 404)
+        return _json(out)
+
+    async def beliefs_resolve(request):
+        """Adjudicate contested beliefs (gardener.go:3277-3599)."""
+        if gardener is None:
+            return _err("gardener disabled", 404)
+        name = request.match_info["name"]
+        out = await asyncio.to_thread(gardener.resolve_volatile_beliefs,
+                                      name)
+        return _json({"resolved": out})
+
     async def session_start(request):
         b = await body_of(request) if request.can_read_body else {}
         sid = uuid.uuid4().hex
@@ -920,7 +956,12 @@ def make_app(engine: Engine, *,
     r.add_get("/vector/indexes/{name}/reflections", reflections_get)
     r.add_post("/vector/indexes/{name}/reflections/{id}/resolve",
                reflection_resolve)
+    r.add_post("/vector/indexes/{name}/reflections/{id}/apply",
+               reflection_apply)
     r.add_post("/vector/indexes/{name}/cognitive/think", cognitive_think)
+    r.add_post("/vector/indexes/{name}/cognitive/resolve-beliefs",
+               beliefs_resolve)
+    r.add_post("/cognitive/summarize-session", session_summarize)
     r.add_post("/sessions", session_start)
     r.add_post("/sessions/{id}/end", session_end)
     r.add_post("/transfer/memory", transfer_memory)

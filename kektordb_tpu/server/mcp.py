@@ -471,6 +471,42 @@ class MCPService:
                 return {"status": "gardener disabled"}
             return self.gardener.think(idx(a))
 
+        @t("apply_reflection", "Execute a reflection's proposed action "
+           "(e.g. merge a consolidation cluster)",
+           {"reflection_id": S, "index": S})
+        def apply_reflection(a):
+            if self.gardener is None:
+                raise KeyError("gardener disabled")
+            return self.gardener.apply_reflection(idx(a),
+                                                  a["reflection_id"])
+
+        @t("consolidate_memories", "Merge near-duplicate memories into one "
+           "pinned semantic memory", {"ids": {"type": "array"}, "index": S})
+        def consolidate_memories(a):
+            if self.gardener is None:
+                raise KeyError("gardener disabled")
+            cid = self.gardener.consolidate_cluster(idx(a),
+                                                    list(a.get("ids") or []))
+            return {"consolidated_id": cid}
+
+        @t("resolve_beliefs", "Adjudicate contested/volatile beliefs via "
+           "the epistemic engine", {"index": S})
+        def resolve_beliefs(a):
+            if self.gardener is None:
+                return {"resolved": []}
+            return {"resolved":
+                    self.gardener.resolve_volatile_beliefs(idx(a))}
+
+        @t("summarize_session", "Roll a session's memories into one pinned "
+           "summary node", {"session_id": S, "index": S})
+        def summarize_session_tool(a):
+            if self.gardener is None:
+                raise KeyError("gardener disabled")
+            out = self.gardener.summarize_session(idx(a), a["session_id"])
+            if out is None:
+                raise KeyError("no memories for session")
+            return out
+
         @t("ask_meta_question", "Ask about the memory system itself",
            {"question": S, "index": S})
         def ask_meta_question(a):

@@ -502,3 +502,35 @@ class TestGardenerDepth:
         out = g.summarize_session("mem", "s1")
         assert out["summary"] == "Session about deploys."
         e.close()
+
+
+class TestGardenerServiceSurface:
+    """New gardener flows exposed through MCP tools."""
+
+    def test_mcp_gardener_tools(self):
+        from kektordb_tpu.server.mcp import MCPService, handle_rpc
+        from kektordb_tpu.services.gardener import Gardener, GardenerConfig
+        e = mk_engine()
+        emb = HashingEmbedder()
+        g = Gardener(e, config=GardenerConfig(), embedder=emb)
+        svc = MCPService(e, embedder=emb, gardener=g)
+        names = {t["name"] for t in svc.list_tools()}
+        assert {"apply_reflection", "consolidate_memories",
+                "resolve_beliefs", "summarize_session"} <= names
+
+        e.create_index("mcp_memory", metric="cosine", m=8)
+        for i, t in enumerate(["pref dark mode", "prefers dark mode ui"]):
+            e.add("mcp_memory", f"m{i}", emb.embed(t),
+                  {"content": t, "session_id": "sx"})
+        resp = handle_rpc(svc, {
+            "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+            "params": {"name": "consolidate_memories",
+                       "arguments": {"ids": ["m0", "m1"]}}})
+        out = json.loads(resp["result"]["content"][0]["text"])
+        assert out["consolidated_id"]
+        resp = handle_rpc(svc, {
+            "jsonrpc": "2.0", "id": 2, "method": "tools/call",
+            "params": {"name": "summarize_session",
+                       "arguments": {"session_id": "sx"}}})
+        out = json.loads(resp["result"]["content"][0]["text"])
+        assert out["member_count"] == 2
