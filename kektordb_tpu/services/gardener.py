@@ -607,7 +607,9 @@ class Gardener:
         other kinds resolve with a note). Auto-resolves the reflection."""
         h = self.engine._handle(index)
         row = h.index.ids.get(reflection_id)
-        meta = (h.meta.get(row) or {}) if row is not None else {}
+        if row is None:
+            raise KeyError(f"no such reflection: {reflection_id}")
+        meta = h.meta.get(row) or {}
         kind = meta.get("kind")
         if kind == "consolidation":
             # members are linked as "about" edges, not metadata
