@@ -522,15 +522,36 @@ class HNSWIndex:
             d_np = d_np * (quantum * quantum)
         return d_np, i
 
+    # Pass A emits [B, cap/G] f32+i32 intermediates; bound them so huge
+    # arenas don't OOM HBM (cap=4M at B=4096 would need 17 GB)
+    SCAN_INTERMEDIATE_BYTES = 2 << 30
+
     def _scan_search(self, q, qn, B: int, k: int, allow
                      ) -> tuple[np.ndarray, np.ndarray]:
         """Fused MXU scan serving (ops/scan.py). Pads the batch to the tile
-        multiple, over-fetches 2k for approx pass-B headroom."""
+        multiple, over-fetches 2k for approx pass-B headroom, and chunks
+        very large batches so pass-B intermediates stay within budget."""
         from ..ops import scan as scanlib
         min_b = 32 if self.state.vectors.dtype == jnp.int8 else 16
         Bp = min_b
         while Bp < B:
             Bp *= 2
+        row_bytes = (self._cap // scanlib.G) * 8
+        b_max = max(min_b, self.SCAN_INTERMEDIATE_BYTES // max(row_bytes, 1))
+        bp2 = min_b
+        while bp2 * 2 <= b_max:
+            bp2 *= 2
+        if Bp > bp2:
+            # chunked dispatch: pass-B buffers bounded at bp2 queries
+            outs_d, outs_r = [], []
+            for i in range(0, B, bp2):
+                dd, rr = self._scan_search(q[i:i + bp2],
+                                           qn[i:i + bp2]
+                                           if qn is not None else None,
+                                           min(bp2, B - i), k, allow)
+                outs_d.append(dd)
+                outs_r.append(rr)
+            return np.concatenate(outs_d), np.concatenate(outs_r)
         if Bp != B:
             q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
             qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)]) \

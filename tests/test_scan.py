@@ -221,3 +221,22 @@ class TestScanServing:
         dd, ii = idx2.search((X[0] + 10)[None], 1, mode="beam")
         assert idx2.ids.row_to_ext[int(ii[0, 0])] == "late"
         e2.close()
+
+
+def test_scan_batch_chunking_bounds_intermediates(monkeypatch):
+    """Huge-arena guard: when B x cap/G pass-B intermediates would exceed
+    the budget, the batch splits into chunks transparently (same results)."""
+    n, d = 2048, 16
+    X = data(n, d, seed=21)
+    idx = HNSWIndex(d, dist.L2,
+                    config=HNSWConfig(m=8, chunk=256, serve_mode="scan"))
+    idx.add_batch([f"v{i}" for i in range(n)], X)
+    Q = data(64, d, seed=22)
+    d_full, r_full = idx.search(Q, 5)
+    # force chunking: budget allows only ~16 queries per dispatch
+    monkeypatch.setattr(HNSWIndex, "SCAN_INTERMEDIATE_BYTES",
+                        16 * (idx._cap // scan.G) * 8)
+    d_chunk, r_chunk = idx.search(Q, 5)
+    np.testing.assert_array_equal(np.asarray(r_full), np.asarray(r_chunk))
+    np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_chunk),
+                               rtol=1e-5)
