@@ -95,12 +95,16 @@ class KektorDBClient:
     def vcreate(self, index_name: str, *, metric: str = "euclidean",
                 precision: str = "float32", m: int = 16,
                 ef_construction: int = 200, ef_search: int = 100,
-                text_language: str = "english") -> dict:
+                text_language: str = "english", kind: str = "hnsw",
+                shards: int = 0, serve_mode: str = "auto") -> dict:
+        """kind: hnsw | flat; shards>1 row-shards over N devices;
+        serve_mode: auto (scan-serve + graph) | scan | beam."""
         return self._post("/vector/actions/create", {
             "index_name": index_name, "metric": metric,
             "precision": precision, "m": m,
             "ef_construction": ef_construction, "ef_search": ef_search,
-            "text_language": text_language})
+            "text_language": text_language, "kind": kind,
+            "shards": shards, "serve_mode": serve_mode})
 
     def list_indexes(self) -> list[dict]:
         return self._get("/vector/indexes")
@@ -311,6 +315,32 @@ class KektorDBClient:
         return self._post("/transfer/memory", {
             "source_index": source_index, "target_index": target_index,
             "filter": filter})
+
+    # --------------------------------------------------------- cognitive
+
+    def reflections(self, index_name: str) -> list[dict]:
+        return self._get(
+            f"/vector/indexes/{index_name}/reflections")["reflections"]
+
+    def resolve_reflection(self, index_name: str, reflection_id: str) -> dict:
+        return self._post(f"/vector/indexes/{index_name}/reflections/"
+                          f"{reflection_id}/resolve")
+
+    def apply_reflection(self, index_name: str, reflection_id: str) -> dict:
+        """Execute a reflection's proposed action (e.g. consolidation)."""
+        return self._post(f"/vector/indexes/{index_name}/reflections/"
+                          f"{reflection_id}/apply")
+
+    def think(self, index_name: str) -> dict:
+        return self._post(f"/vector/indexes/{index_name}/cognitive/think")
+
+    def resolve_beliefs(self, index_name: str) -> dict:
+        return self._post(
+            f"/vector/indexes/{index_name}/cognitive/resolve-beliefs")
+
+    def summarize_session(self, index_name: str, session_id: str) -> dict:
+        return self._post("/cognitive/summarize-session", {
+            "index_name": index_name, "session_id": session_id})
 
     # -------------------------------------------------------------- auth
 

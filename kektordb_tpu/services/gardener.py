@@ -578,8 +578,7 @@ class Gardener:
             uniq = list(dict.fromkeys(c for c in contents if c))
             summary = " ".join(uniq)[:800]
         cid = f"cons_{uuid.uuid4().hex[:10]}"
-        vec = (self.embedder.embed(summary) if self.embedder is not None
-               else None)
+        vec = self._embed_for_index(h, summary)
         if vec is None:
             # centroid of member vectors
             vecs = [h.index.get_vector(mid) for mid, _ in members]
@@ -601,6 +600,19 @@ class Gardener:
             except KeyError:
                 pass
         return cid
+
+    def _embed_for_index(self, h, text: str) -> Optional[np.ndarray]:
+        """Embed only when the embedder's dimension matches the index —
+        otherwise the caller falls back to a member-vector centroid."""
+        if self.embedder is None:
+            return None
+        dim = getattr(h.index, "dim", 0)
+        if dim and getattr(self.embedder, "dim", dim) != dim:
+            return None
+        v = self.embedder.embed(text)
+        if dim and v.shape[-1] != dim:
+            return None
+        return v
 
     def apply_reflection(self, index: str, reflection_id: str) -> dict:
         """Execute the action a reflection proposes (consolidation today;
@@ -746,8 +758,7 @@ class Gardener:
         if store:
             sid = f"sess_sum_{session_id[:12]}"
             if sid not in h.index.ids:
-                vec = (self.embedder.embed(summary)
-                       if self.embedder is not None else None)
+                vec = self._embed_for_index(h, summary)
                 if vec is None:
                     vecs = [h.index.get_vector(m) for _, m, _ in members[:8]]
                     vecs = [v for v in vecs if v is not None]

@@ -120,3 +120,22 @@ def test_langchain_store(db):
     store.delete([ids[0]])
     docs = store.similarity_search("tpu jax", k=2)
     assert all(d.metadata["src"] != "a" for d in docs)
+
+
+def test_sdk_cognitive_and_sharded_surface(db):
+    """New SDK methods: sharded create, reflections, summarize-session."""
+    import numpy as np
+    c = db
+    c.vcreate("sdk_sh", m=8, shards=8)
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(64, 8)).astype(np.float32)
+    c.vadd_batch("sdk_sh", [
+        {"id": f"v{i}", "vector": X[i].tolist(),
+         "metadata": {"content": f"text {i}", "session_id": "s7"}}
+        for i in range(64)])
+    hits = c.vsearch("sdk_sh", X[9].tolist(), k=1)
+    assert hits["results"][0]["id"] == "v9"
+    out = c.summarize_session("sdk_sh", "s7")
+    assert out["member_count"] == 64
+    assert c.reflections("sdk_sh") == []
+    c.drop_index("sdk_sh")

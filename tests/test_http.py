@@ -32,7 +32,12 @@ class ServerFixture:
         asyncio.set_event_loop(self._loop)
 
         async def start():
-            app = make_app(self.engine)
+            from kektordb_tpu.services.embeddings import HashingEmbedder
+            from kektordb_tpu.services.gardener import Gardener, \
+                GardenerConfig
+            gardener = Gardener(self.engine, config=GardenerConfig(),
+                                embedder=HashingEmbedder())
+            app = make_app(self.engine, gardener=gardener)
             runner = web.AppRunner(app)
             await runner.setup()
             site = web.TCPSite(runner, "127.0.0.1", 0)
