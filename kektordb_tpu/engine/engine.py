@@ -377,10 +377,10 @@ class Engine:
         if idx.dim and vectors.shape[-1] != idx.dim:
             raise ValueError(
                 f"expected dim {idx.dim}, got {vectors.shape[-1]}")
-        pending = {e for e, _ in getattr(idx, "_pending", [])}
+        # rows are allocated eagerly, so `ids` covers host-pending adds too
         seen: set[str] = set()
         for e in ext_ids:
-            if e in idx.ids or e in pending or e in seen:
+            if e in idx.ids or e in seen:
                 raise KeyError(f"id already present: {e}")
             seen.add(e)
 
@@ -991,7 +991,21 @@ class Engine:
                 continue
             if name not in self.indexes and ops.get("create"):
                 c = ops["create"]
-                self.create_index(name, _journal=False, **c)
+                try:
+                    self.create_index(name, _journal=False, **c)
+                except ValueError:
+                    if int(c.get("shards", 0)) > 1:
+                        # journaled on a bigger mesh than this host has:
+                        # degrade to unsharded so the DB still opens (the
+                        # AOF carries raw vectors, so data is intact)
+                        log.warning(
+                            "AOF replay: index %s journaled with shards=%s "
+                            "but fewer devices are visible; recreating "
+                            "unsharded", name, c.get("shards"))
+                        c = dict(c, shards=0)
+                        self.create_index(name, _journal=False, **c)
+                    else:
+                        raise
             if name not in self.indexes:
                 continue
             entries = ops.get("entries") or {}

@@ -125,7 +125,14 @@ class HNSWIndex:
             return quant.quantize(self.quantizer, v)
         # cast to the live arena dtype (compress_serving may have narrowed it)
         enc = v.astype(self.state.vectors.dtype)
-        return enc, jnp.zeros((v.shape[0],), jnp.float32)
+        if self.metric == dist.L2:
+            # norms double as the precomputed |x|^2 the scan's serving_bias
+            # uses — recomputing it per batch would re-stream the arena.
+            # Computed from the STORED precision so bias and dots agree.
+            norms = jnp.sum(enc.astype(jnp.float32) ** 2, axis=-1)
+        else:
+            norms = jnp.zeros((v.shape[0],), jnp.float32)
+        return enc, norms
 
     # -- capacity ----------------------------------------------------------
 
@@ -224,7 +231,10 @@ class HNSWIndex:
         norms = jnp.zeros((pad_to,), jnp.float32).at[:n].set(norms_n)
         self.state = K.stage_vectors(self.state, jnp.asarray(rp), enc,
                                      norms, jnp.asarray(lp))
-        self._unlinked.extend(zip(rows.tolist(), levels.tolist()))
+        if self.config.serve_mode != "scan":
+            # scan-only indexes never link: keeping a backlog would grow
+            # host memory unboundedly and bloat checkpoints for nothing
+            self._unlinked.extend(zip(rows.tolist(), levels.tolist()))
 
     def _stage_pending(self) -> None:
         if not self._pending:
@@ -380,7 +390,12 @@ class HNSWIndex:
 
     def turbo_refine(self, passes: int = 1) -> None:
         """Full-graph refine after bulk import (RunTurboRefine,
-        optimizer.go:644-684); clears the needs_refine ef boost."""
+        optimizer.go:644-684); clears the needs_refine ef boost.
+        No-op for scan-only indexes (no graph to refine)."""
+        if self.config.serve_mode == "scan":
+            self._stage_pending()
+            self.needs_refine = False
+            return
         self.flush()
         live = self._live_rows()
         B = self.config.refine_batch
@@ -570,7 +585,8 @@ class HNSWIndex:
         import jax
         return jax.device_get((d[:B, :k], rows[:B, :k]))
 
-    def compress_serving(self, dtype: str = "bfloat16") -> None:
+    def compress_serving(self, dtype: str = "bfloat16",
+                         _pretrained: bool = False) -> None:
         """Narrow the stored vectors for serving after a bulk build.
 
         Build quality wants f32 distances; query throughput wants narrow
@@ -587,9 +603,10 @@ class HNSWIndex:
         if self.precision != dist.F32:
             raise ValueError("compress_serving applies to float32 indexes")
         if dtype == "int8":
-            used = self.ids.capacity_used
-            v32 = self.state.vectors[:max(used, 1)].astype(jnp.float32)
-            self.quantizer = quant.train(v32)
+            if not _pretrained:
+                used = self.ids.capacity_used
+                v32 = self.state.vectors[:max(used, 1)].astype(jnp.float32)
+                self.quantizer = quant.train(v32)
             codes, norms = quant.quantize(self.quantizer,
                                           self.state.vectors.astype(
                                               jnp.float32))
@@ -597,8 +614,12 @@ class HNSWIndex:
             self._serve_quantized = True
             return
         target = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
-        self.state = self.state._replace(
-            vectors=self.state.vectors.astype(target))
+        vecs = self.state.vectors.astype(target)
+        norms = self.state.norms
+        if self.metric == dist.L2:
+            # |x|^2 must be of the NARROWED values so bias and dots agree
+            norms = jnp.sum(vecs.astype(jnp.float32) ** 2, axis=-1)
+        self.state = self.state._replace(vectors=vecs, norms=norms)
 
     def optimize_layout(self) -> None:
         """Relabel rows in BFS order from the entry point so neighbor-row

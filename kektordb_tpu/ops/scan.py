@@ -244,12 +244,14 @@ def _use_pallas(n_rows: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("metric",))
 def serving_bias(
     vectors: jax.Array,    # [N, D] storage dtype
-    norms: jax.Array,      # [N] f32 (int-domain norms for int8, else unused)
+    norms: jax.Array,      # [N] f32: |x|^2 for f32/bf16 L2, int-domain
+    #                        norms for int8, unused (zeros) for cosine
     live: jax.Array,       # [N] bool — allocated and not deleted
     metric: str,
 ) -> tuple[jax.Array, jax.Array]:
     """(biasA, biasB) for the scan score form, with +inf masking of dead
-    rows. Cheap ([N]-sized) — recomputed per search batch and fused by XLA.
+    rows. All inputs are [N]-sized — the arena itself is not re-read
+    (HNSWIndex._encode maintains |x|^2 in norms at stage time).
     """
     mask = jnp.where(live, 0.0, jnp.inf)
     if vectors.dtype == jnp.int8:
@@ -263,8 +265,7 @@ def serving_bias(
         biasA = mask
         biasB = jnp.full_like(mask, 2.0)
     else:
-        v2 = jnp.sum(vectors.astype(jnp.float32) ** 2, axis=-1)
-        biasA = v2 + mask
+        biasA = norms + mask           # norms hold the precomputed |x|^2
         biasB = jnp.full_like(mask, 2.0)
     return biasA, biasB
 

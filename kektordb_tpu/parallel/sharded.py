@@ -80,6 +80,8 @@ class ShardedHNSW:
         self.ids = IDMap()                      # global ext -> gid
         self._loc_shard = np.full(4096, -1, np.int8)   # gid -> shard
         self._loc_row = np.full(4096, -1, np.int32)    # gid -> local row
+        # inverse map for vectorized result translation: [shard, row] -> gid
+        self._rev = np.full((self.n_shards, 4096), -1, np.int32)
         self.quantizer = self.shards[0].quantizer
         self.needs_refine = False
 
@@ -109,8 +111,17 @@ class ShardedHNSW:
     def _register(self, ext_id: str, shard: int) -> None:
         gid = self.ids.alloc(ext_id)
         self._grow_loc(gid + 1)
+        row = self.shards[shard].ids.ext_to_row[ext_id]
         self._loc_shard[gid] = shard
-        self._loc_row[gid] = self.shards[shard].ids.ext_to_row[ext_id]
+        self._loc_row[gid] = row
+        if row >= self._rev.shape[1]:
+            n = self._rev.shape[1]
+            while n <= row:
+                n *= 2
+            self._rev = np.concatenate(
+                [self._rev, np.full((self.n_shards, n - self._rev.shape[1]),
+                                    -1, np.int32)], axis=1)
+        self._rev[shard, row] = gid
 
     # -- write path: hash scatter, per-shard chunked build -------------------
 
@@ -145,11 +156,14 @@ class ShardedHNSW:
         if gid is None:
             return False
         s = int(self._loc_shard[gid])
+        row = int(self._loc_row[gid])
         ok = self.shards[s].delete(ext_id)
         if ok:
             self.ids.release(ext_id)
             self._loc_shard[gid] = -1
             self._loc_row[gid] = -1
+            if 0 <= row < self._rev.shape[1]:
+                self._rev[s, row] = -1
         return ok
 
     def get_vector(self, ext_id: str):
@@ -170,6 +184,27 @@ class ShardedHNSW:
         return ";".join(s.run_maintenance_cycle() for s in self.shards)
 
     def compress_serving(self, dtype: str = "bfloat16") -> None:
+        """int8 trains ONE quantizer over a cross-shard sample and shares it
+        — per-shard scales would make cross-shard scores incommensurable."""
+        if dtype == "int8":
+            import jax.numpy as jnp
+
+            from ..ops import quantize as quant
+            samples = []
+            for s in self.shards:
+                s._stage_pending()
+                used = s.ids.capacity_used
+                if used:
+                    samples.append(np.asarray(
+                        s.state.vectors[: min(used, 8192)], np.float32))
+            if not samples:
+                return
+            qs = quant.train(jnp.asarray(np.concatenate(samples)))
+            for s in self.shards:
+                s.quantizer = qs
+                s.compress_serving("int8", _pretrained=True)
+            self.quantizer = qs
+            return
         for s in self.shards:
             s.compress_serving(dtype)
 
@@ -211,16 +246,18 @@ class ShardedHNSW:
         """Engine-facing: (dists [B,k], global rows [B,k]; -1 pads)."""
         d, sh, rows = self._search_raw(queries, k, ef=ef,
                                        allow_rows=allow_rows, mode=mode)
-        gids = np.full_like(rows, -1)
-        for b in range(rows.shape[0]):
-            for j in range(rows.shape[1]):
-                s, r = int(sh[b, j]), int(rows[b, j])
-                if r >= 0:
-                    ext = self.shards[s].ids.row_to_ext[r] \
-                        if r < len(self.shards[s].ids.row_to_ext) else None
-                    if ext is not None:
-                        g = self.ids.get(ext)
-                        gids[b, j] = -1 if g is None else g
+        # vectorized (shard, local row) -> gid translation via the inverse
+        # map (a per-hit Python loop costs ~30us/query at B=4096)
+        valid = (rows >= 0) & (rows < self._rev.shape[1])
+        gids = np.where(valid,
+                        self._rev[np.where(valid, sh, 0),
+                                  np.where(valid, rows, 0)],
+                        -1).astype(np.int32)
+        if self._serve_quantized and self.metric == dist.L2:
+            # quantized-domain euclidean distances rescale back
+            # (HNSWIndex.search does the same for the single-shard path)
+            quantum = float(self.shards[0].quantizer.abs_max) / 127.0
+            d = d * (quantum * quantum)
         return d, gids
 
     def _search_raw(self, queries: np.ndarray, k: int, *,
@@ -249,9 +286,25 @@ class ShardedHNSW:
 
         if use_scan:
             min_b = 32 if stacked.vectors.dtype == jnp.int8 else 16
+            # bound per-shard pass-B intermediates ([B, cap/G] f32+i32)
+            # like HNSWIndex._scan_search does for the single-device path
+            row_bytes = (self.shards[0]._cap // scanlib.G) * 8
+            b_max = max(min_b,
+                        HNSWIndex.SCAN_INTERMEDIATE_BYTES
+                        // max(row_bytes, 1))
+            bp2 = min_b
+            while bp2 * 2 <= b_max:
+                bp2 *= 2
             Bp = min_b
             while Bp < B:
                 Bp *= 2
+            if Bp > bp2:
+                outs = [self._search_raw(queries[i:i + bp2], k, ef=ef,
+                                         allow_rows=allow_rows, mode=mode)
+                        for i in range(0, B, bp2)]
+                return (np.concatenate([o[0] for o in outs]),
+                        np.concatenate([o[1] for o in outs]),
+                        np.concatenate([o[2] for o in outs]))
             if Bp != B:
                 q = jnp.concatenate(
                     [q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
@@ -260,7 +313,8 @@ class ShardedHNSW:
                 self.mesh, self.axis, stacked, allow_j, q, qn,
                 k=k, metric=self.metric,
                 mode="exact" if self.config.scan_exact else "approx",
-                has_allow=allow_j is not None)
+                has_allow=allow_j is not None,
+                fast=self.config.scan_precision == "fast")
             d, sh, rows = d[:B], sh[:B], rows[:B]
         else:
             ef = max(ef or self.config.ef_search, k)
@@ -327,7 +381,8 @@ def _sharded_search(mesh: Mesh, axis: str, stacked: K.GraphState,
 
 def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
                   allow: Optional[jax.Array], q: jax.Array, qn: jax.Array,
-                  *, k: int, metric: str, mode: str, has_allow: bool):
+                  *, k: int, metric: str, mode: str, has_allow: bool,
+                  fast: bool = False):
     """shard_map body: local fused scan → all_gather → global top-k merge.
     Only [B, k] tops cross ICI; the arenas never move."""
 
@@ -336,7 +391,8 @@ def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
         a = allow_blk[0] if has_allow else None
         d, rows = scanlib.scan_search(
             state.vectors, state.norms, state.levels, state.deleted, a,
-            q, qn, k, metric=metric, mode=mode, has_allow=has_allow)
+            q, qn, k, metric=metric, mode=mode, has_allow=has_allow,
+            fast=fast)
         return _merge_tops(axis, d, rows, k)
 
     fn = jax.shard_map(

@@ -101,6 +101,15 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
         idx.ids.rebuild_mask()
         idx._loc_shard = np.array(st["loc_shard"], np.int8)
         idx._loc_row = np.array(st["loc_row"], np.int32)
+        # rebuild the (shard, row) -> gid inverse used by vectorized
+        # result translation
+        max_row = int(idx._loc_row.max(initial=0))
+        n = 4096
+        while n <= max_row:
+            n *= 2
+        idx._rev = np.full((idx.n_shards, n), -1, np.int32)
+        gids = np.nonzero(idx._loc_shard >= 0)[0]
+        idx._rev[idx._loc_shard[gids], idx._loc_row[gids]] = gids
         return idx
     if kind == "flat":
         idx = BruteForceIndex(st["dim"], st["metric"], st["precision"])
@@ -118,6 +127,12 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
     leaves = {leaf: jnp.asarray(arrays[f"{name}/{leaf}"])
               for leaf in K.GraphState._fields}
     idx.state = K.GraphState(**leaves)
+    if st["metric"] == "euclidean" and idx.state.vectors.dtype != jnp.int8 \
+            and not st.get("serve_quantized", False):
+        # norms hold |x|^2 for L2 serving bias; recompute on load so
+        # checkpoints written before this convention stay valid
+        idx.state = idx.state._replace(norms=jnp.sum(
+            idx.state.vectors.astype(jnp.float32) ** 2, axis=-1))
     idx._cap = idx.state.vectors.shape[0]
     idx._ucap = idx.state.up_node.shape[0]
     _restore_ids(idx, st)

@@ -1070,12 +1070,20 @@ def engine_compress(engine: Engine, name: str, precision: str) -> dict:
         ids.append(ext)
         vecs.append(v)
         metas.append(h.meta.get(row) or {})
+    # preserve the index topology: a sharded/scan-mode/flat index must come
+    # back with the same kind/shards/serve_mode, not a default HNSW
+    from ..index.bruteforce import BruteForceIndex
+    from ..parallel.sharded import ShardedHNSW
+    kind = "flat" if isinstance(idx, BruteForceIndex) else "hnsw"
+    shards = idx.n_shards if isinstance(idx, ShardedHNSW) else 0
+    serve_mode = getattr(getattr(idx, "config", None), "serve_mode", "auto")
     engine.drop_index(name)
     engine.create_index(name, metric=info["metric"], precision=precision,
                         m=info["config"].get("m", 16),
                         ef_construction=info["config"].get(
                             "ef_construction", 200),
-                        ef_search=info["config"].get("ef_search", 100))
+                        ef_search=info["config"].get("ef_search", 100),
+                        kind=kind, shards=shards, serve_mode=serve_mode)
     if ids:
         engine.add_batch(name, ids, np.stack(vecs), metas)
     return {"status": "ok", "precision": precision, "count": len(ids)}

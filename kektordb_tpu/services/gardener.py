@@ -731,6 +731,8 @@ class Gardener:
             return None
         members.sort()
         contents = [c for _, _, c in members if c]
+        if not contents:
+            contents = [f"({len(members)} memories without text content)"]
         summary = None
         if self.llm is not None:
             try:

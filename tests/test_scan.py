@@ -26,7 +26,8 @@ class TestScanTopk:
         X, Q = data(N, D), data(B, D, seed=1)
         v = jnp.asarray(X)
         live = jnp.ones((N,), bool)
-        biasA, biasB = scan.serving_bias(v, jnp.zeros((N,)), live, dist.L2)
+        v2 = jnp.sum(v.astype(jnp.float32) ** 2, axis=-1)
+        biasA, biasB = scan.serving_bias(v, v2, live, dist.L2)
         s, rows = scan.scan_topk(jnp.asarray(Q), v, biasA, biasB, 10)
         d = scan.scores_to_distances(s, jnp.asarray(Q), None, dist.L2, False)
         gd, gi = dist.brute_force_topk(jnp.asarray(Q), v, 10, dist.L2)
@@ -41,7 +42,8 @@ class TestScanTopk:
         X, Q = data(N, D), data(B, D, seed=2)
         v = jnp.asarray(X)
         live = jnp.ones((N,), bool)
-        biasA, biasB = scan.serving_bias(v, jnp.zeros((N,)), live, dist.L2)
+        v2 = jnp.sum(v.astype(jnp.float32) ** 2, axis=-1)
+        biasA, biasB = scan.serving_bias(v, v2, live, dist.L2)
         s, rows = scan._scan_pallas(jnp.asarray(Q), v, biasA, biasB, 10,
                                     True, interpret=True)
         gd, gi = dist.brute_force_topk(jnp.asarray(Q), v, 10, dist.L2)
@@ -63,7 +65,8 @@ class TestScanTopk:
         X, Q = data(N, D), data(B, D, seed=3)
         v = jnp.asarray(X)
         live = jnp.ones((N,), bool).at[: N // 2].set(False)
-        biasA, biasB = scan.serving_bias(v, jnp.zeros((N,)), live, dist.L2)
+        v2 = jnp.sum(v.astype(jnp.float32) ** 2, axis=-1)
+        biasA, biasB = scan.serving_bias(v, v2, live, dist.L2)
         s, rows = scan.scan_topk(jnp.asarray(Q), v, biasA, biasB, 10)
         assert (np.asarray(rows) >= N // 2).all()
 
@@ -135,7 +138,9 @@ class TestScanServing:
         dd, ii = idx.search(X[:4], 1)
         assert [int(x) for x in np.asarray(ii)[:, 0]] == [
             idx.ids.ext_to_row[f"v{i}"] for i in range(4)]
-        assert len(idx._unlinked) > 0      # no graph work happened
+        # scan-only indexes keep no link backlog at all (nothing to link)
+        assert not idx._unlinked
+        assert int(idx.state.entry) < 0    # no graph work happened
 
     def test_auto_mode_streaming_then_beam(self):
         """auto mode: scan serves immediately; beam works after the backlog
@@ -186,7 +191,7 @@ class TestScanServing:
             idx.delete(f"v{i}")
         n = idx.vacuum()
         assert n == 64 and idx.deleted_count == 0
-        assert len(idx._unlinked) > 0      # vacuum did not force linking
+        assert int(idx.state.entry) < 0    # vacuum did not force linking
         dd, ii = idx.search(X[100][None], 1)
         assert idx.ids.row_to_ext[int(ii[0, 0])] == "v100"
 
