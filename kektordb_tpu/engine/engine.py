@@ -232,8 +232,21 @@ class Engine:
             if "auto_links" in config:
                 h.auto_links = [AutoLinkRule(**r)
                                 for r in config["auto_links"]]
-            if "ef_search" in config and hasattr(h.index, "config"):
-                h.index.config.ef_search = int(config["ef_search"])
+            if hasattr(h.index, "config"):
+                icfg = h.index.config
+                if "ef_search" in config:
+                    icfg.ef_search = int(config["ef_search"])
+                if "scan_exact" in config:
+                    icfg.scan_exact = bool(config["scan_exact"])
+                if "scan_precision" in config:
+                    if config["scan_precision"] not in ("high", "fast"):
+                        raise ValueError("scan_precision must be high|fast")
+                    icfg.scan_precision = config["scan_precision"]
+                if "serve_mode" in config:
+                    if config["serve_mode"] not in ("auto", "scan", "beam"):
+                        raise ValueError(
+                            "serve_mode must be auto|scan|beam")
+                    icfg.serve_mode = config["serve_mode"]
             if _journal:
                 self._journal("VCONFIG", name, json.dumps(config))
 

@@ -353,3 +353,27 @@ class TestFlatKind:
         hits = e2.search("f", X[5], k=2, filter="i = 5")[0]
         assert len(hits) == 1 and hits[0]["id"] == "x5"
         e2.close()
+
+
+def test_vconfig_scan_knobs(tmp_path):
+    """Runtime serve-mode/scan tuning via VCONFIG, journaled + replayed."""
+    e = mk(tmp_path)
+    e.create_index("idx", m=8)
+    X = vecs(64, 8, seed=9)
+    e.add_batch("idx", [f"v{i}" for i in range(64)], X)
+    e.configure_index("idx", {"scan_exact": True,
+                              "scan_precision": "fast",
+                              "serve_mode": "scan",
+                              "ef_search": 64})
+    icfg = e.indexes["idx"].index.config
+    assert icfg.scan_exact and icfg.scan_precision == "fast"
+    assert icfg.serve_mode == "scan" and icfg.ef_search == 64
+    assert e.search("idx", X[3], k=1)[0][0]["id"] == "v3"
+    with pytest.raises(ValueError):
+        e.configure_index("idx", {"serve_mode": "warp"})
+    e._aof.flush(fsync=True)
+    e.close()
+    e2 = mk(tmp_path)
+    icfg2 = e2.indexes["idx"].index.config
+    assert icfg2.scan_exact and icfg2.serve_mode == "scan"
+    e2.close()
