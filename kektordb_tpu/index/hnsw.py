@@ -637,6 +637,8 @@ class HNSWIndex:
             return
         nbrs = np.asarray(self.state.nbrs[:used])
         entry = int(self.state.entry)
+        if entry < 0:
+            return          # no graph (scan-only index) — nothing to order
 
         # vectorized BFS levels over the level-0 graph
         visited = np.zeros(used, bool)
