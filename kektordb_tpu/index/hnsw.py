@@ -571,7 +571,7 @@ class HNSWIndex:
             q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
             qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)]) \
                 if qn is not None else None
-        kf = min(max(2 * k, 16), self._cap // scanlib.G)
+        kf = min(max(2 * k, 32), self._cap // scanlib.G)
         d, rows = scanlib.scan_search(
             self.state.vectors, self.state.norms, self.state.levels,
             self.state.deleted, allow, q,
