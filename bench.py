@@ -127,7 +127,7 @@ def main() -> None:
     jax.block_until_ready(out)
     t0 = time.time()
     outs = [one_batch(qd) for qd in qdevs]
-    jax.block_until_ready(outs[-1])
+    jax.block_until_ready(outs)
     qps = nq / (time.time() - t0)
 
     # conservative per-batch-sync number (includes tunnel round-trip)
@@ -158,7 +158,7 @@ def main() -> None:
         o = fast_batch(qdevs[0]); jax.block_until_ready(o)
         t0 = time.time()
         outs_f = [fast_batch(qd) for qd in qdevs[:8]]
-        jax.block_until_ready(outs_f[-1])
+        jax.block_until_ready(outs_f)
         extras["scan_fast_qps"] = round(8 * qbatch / (time.time() - t0), 1)
         gf = np.asarray(outs_f[0][1])[:sample, :10]
         extras["scan_fast_recall_at_10"] = round(float(np.mean([
@@ -174,7 +174,7 @@ def main() -> None:
         o = exact_batch(qdevs[0]); jax.block_until_ready(o)
         t0 = time.time()
         outs_e = [exact_batch(qd) for qd in qdevs[:8]]
-        jax.block_until_ready(outs_e[-1])
+        jax.block_until_ready(outs_e)
         extras["scan_exact_qps"] = round(8 * qbatch / (time.time() - t0), 1)
         ge = np.asarray(outs_e[0][1])[:sample, :10]
         extras["scan_exact_recall_at_10"] = round(float(np.mean([
@@ -205,7 +205,7 @@ def main() -> None:
             o = filt_batch(qdevs[0]); jax.block_until_ready(o)
             t0 = time.time()
             fo = [filt_batch(qd) for qd in qdevs[:8]]
-            jax.block_until_ready(fo[-1])
+            jax.block_until_ready(fo)
             extras[f"filtered_{sel}pct_qps"] = round(
                 8 * qbatch / (time.time() - t0), 1)
             i_f = np.asarray(fo[0][1])
