@@ -551,7 +551,7 @@ class HNSWIndex:
         Bp = min_b
         while Bp < B:
             Bp *= 2
-        row_bytes = (self._cap // scanlib.G) * 8
+        row_bytes = (self._cap // scanlib.g_for(self._cap)) * 8
         b_max = max(min_b, self.SCAN_INTERMEDIATE_BYTES // max(row_bytes, 1))
         bp2 = min_b
         while bp2 * 2 <= b_max:
@@ -571,7 +571,8 @@ class HNSWIndex:
             q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
             qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)]) \
                 if qn is not None else None
-        kf = min(max(2 * k, 32), self._cap // scanlib.G)
+        kf = min(max(2 * k, 32),
+                 self._cap // scanlib.g_for(self._cap))
         d, rows = scanlib.scan_search(
             self.state.vectors, self.state.norms, self.state.levels,
             self.state.deleted, allow, q,

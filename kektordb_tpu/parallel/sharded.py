@@ -288,7 +288,8 @@ class ShardedHNSW:
             min_b = 32 if stacked.vectors.dtype == jnp.int8 else 16
             # bound per-shard pass-B intermediates ([B, cap/G] f32+i32)
             # like HNSWIndex._scan_search does for the single-device path
-            row_bytes = (self.shards[0]._cap // scanlib.G) * 8
+            cap0 = self.shards[0]._cap
+            row_bytes = (cap0 // scanlib.g_for(cap0)) * 8
             b_max = max(min_b,
                         HNSWIndex.SCAN_INTERMEDIATE_BYTES
                         // max(row_bytes, 1))

@@ -240,7 +240,7 @@ def test_scan_batch_chunking_bounds_intermediates(monkeypatch):
     d_full, r_full = idx.search(Q, 5)
     # force chunking: budget allows only ~16 queries per dispatch
     monkeypatch.setattr(HNSWIndex, "SCAN_INTERMEDIATE_BYTES",
-                        16 * (idx._cap // scan.G) * 8)
+                        16 * (idx._cap // scan.g_for(idx._cap)) * 8)
     d_chunk, r_chunk = idx.search(Q, 5)
     np.testing.assert_array_equal(np.asarray(r_full), np.asarray(r_chunk))
     np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_chunk),
