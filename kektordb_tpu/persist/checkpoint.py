@@ -13,6 +13,7 @@ previous checkpoint intact (the reference's tmp→rename dance).
 from __future__ import annotations
 
 import io
+import logging
 import os
 import shutil
 import time
@@ -20,6 +21,8 @@ from typing import Any, Optional
 
 import msgpack
 import numpy as np
+
+log = logging.getLogger("kektordb.checkpoint")
 
 CURRENT = "CURRENT"
 
@@ -111,7 +114,11 @@ def load(root: str) -> Optional[tuple[dict[str, np.ndarray], dict[str, Any]]]:
     for g in tried + older:
         try:
             return _load_gen(root, g)
-        except Exception:
+        except Exception as exc:
+            # falling through to an OLDER generation silently would be a
+            # silent time-rollback of the database — make it loud
+            log.warning("checkpoint generation %s failed to load (%s); "
+                        "falling back to an older generation", g, exc)
             continue
     return None
 

@@ -89,10 +89,28 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
     if kind == "sharded":
         from ..parallel.sharded import ShardedHNSW, make_mesh
         cfg = HNSWConfig(**st["config"])
+        try:
+            mesh = make_mesh(st["n_shards"])
+        except ValueError:
+            # checkpoint was written on a bigger mesh than this host has:
+            # degrade to one unsharded index, same as the AOF-replay path
+            # (engine.py replay shards-downgrade) — startup must not fail
+            import logging
+            logging.getLogger("kektordb.persist").warning(
+                "checkpoint index %s was saved with shards=%s but only "
+                "%d devices are visible; loading as a single unsharded "
+                "index (relink cost applies once)", name, st["n_shards"],
+                len(__import__("jax").devices()))
+            return _merge_sharded_to_single(st, arrays, name)
         idx = ShardedHNSW(st["dim"], st["metric"], st["precision"], cfg,
-                          mesh=make_mesh(st["n_shards"]))
+                          mesh=mesh)
         idx.shards = [load_index(sst, arrays, f"{name}/s{j}")
                       for j, sst in enumerate(st["shards"])]
+        for sh, dev in zip(idx.shards, idx.mesh.devices.flat):
+            sh.pin_device(dev)     # shard s resident on mesh device s
+        idx._stacked = None
+        idx._stacked_key = None
+        idx._rev_dirty = True
         idx.ids.ext_to_row = dict(st["ext_to_gid"])
         idx.ids.row_to_ext = [None] * st["gid_rows"]
         for e, g in idx.ids.ext_to_row.items():
@@ -148,6 +166,33 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
         abs_max=jnp.float32(st["quantizer"]["abs_max"]),
         trained=jnp.asarray(bool(st["quantizer"]["trained"]))) \
         if "quantizer" in st else idx.quantizer
+    return idx
+
+
+def _merge_sharded_to_single(st: dict[str, Any],
+                             arrays: dict[str, np.ndarray], name: str):
+    """Fold a sharded checkpoint into one unsharded HNSWIndex by re-adding
+    every live vector (data lives in the per-shard arenas, so nothing is
+    lost; the graph is rebuilt, which is the one-time degrade cost)."""
+    from ..index.hnsw import HNSWConfig, HNSWIndex
+
+    cfg = HNSWConfig(**st["config"])
+    idx = HNSWIndex(st["dim"], st["metric"], st["precision"], cfg)
+    serve_q = False
+    for j, sst in enumerate(st["shards"]):
+        sh = load_index(sst, arrays, f"{name}/s{j}")
+        serve_q = serve_q or sh._serve_quantized
+        ids, vecs = [], []
+        for ext, row in sh.ids.ext_to_row.items():
+            v = sh.get_vector(ext)   # dequantized f32 for int8/compressed
+            if v is None:
+                continue
+            ids.append(ext)
+            vecs.append(v)
+        if ids:
+            idx.add_batch(ids, np.stack(vecs))
+    if serve_q and idx.precision != "int8":
+        idx.compress_serving("int8")
     return idx
 
 
