@@ -32,6 +32,7 @@ from . import fusion
 from .events import Event, EventBus
 from .graph import KnowledgeGraph
 from .kv import KVStore
+from .locks import RWLock
 from .metadata import MetadataStore
 
 log = logging.getLogger("kektordb")
@@ -84,7 +85,11 @@ class Engine:
         self.kv = KVStore()
         self.graph = KnowledgeGraph()
         self.events = EventBus()
-        self._lock = threading.RLock()
+        # readers-writer lock: `with self._lock` = exclusive write side
+        # (drop-in for the old RLock); searches take the shared read side
+        # so concurrent clients no longer serialize (locks.RWLock; the
+        # reference's readers-during-writes analogue, hnsw_index.go:71)
+        self._lock = RWLock()
         self._aof: Optional[aoflib.LazyAOFWriter] = None
         self._dirty = 0
         self._last_snapshot = time.time()
@@ -208,6 +213,9 @@ class Engine:
             "precision": idx.precision, "dimensions": idx.dim,
             "deleted": getattr(idx, "deleted_count", 0),
             "needs_refine": getattr(idx, "needs_refine", False),
+            "serve_mode": getattr(getattr(idx, "config", None),
+                                  "serve_mode", ""),
+            "shards": getattr(idx, "n_shards", 0),
             "config": asdict(idx.config) if hasattr(idx, "config") else {},
             "memory": asdict(h.memory),
         }
@@ -247,6 +255,8 @@ class Engine:
                         raise ValueError(
                             "serve_mode must be auto|scan|beam")
                     icfg.serve_mode = config["serve_mode"]
+                if "max_unlinked" in config:
+                    icfg.max_unlinked = max(0, int(config["max_unlinked"]))
             if _journal:
                 self._journal("VCONFIG", name, json.dumps(config))
 
@@ -304,11 +314,11 @@ class Engine:
                     self._journal("VADD", index, e, vectors[j].tobytes(),
                                   json.dumps(m) if m else "")
             h.index.add_batch(ext_ids, vectors, fast=fast)
-            for e, m in zip(ext_ids, metas):
-                if m:
-                    row = self._row_of(h, e)
-                    if row is not None:
-                        h.meta.set(row, m)
+            pairs = [(r, m) for e, m in zip(ext_ids, metas) if m
+                     and (r := self._row_of(h, e)) is not None]
+            if pairs:
+                h.meta.set_batch([r for r, _ in pairs],
+                                 [m for _, m in pairs])
         for e in ext_ids:
             self.events.emit(Event("vector.add", index, e))
 
@@ -480,17 +490,33 @@ class Engine:
         if idx.dim and q.shape[-1] != idx.dim:
             raise ValueError(
                 f"query dim {q.shape[-1]} != index dim {idx.dim}")
-        # the engine lock serializes against writers for the whole read
-        # section: flush() commits pending vectors and donates/invalidates
-        # device state buffers, and the IDMap/metadata reads below must see
-        # a consistent view (HTTP handlers call this from worker threads)
-        with self._lock:
-            return self._search_locked(
-                h, idx, q, B, k, ef=ef, filter=filter,
-                text_query=text_query, alpha=alpha, graph_root=graph_root,
-                graph_depth=graph_depth, graph_relation=graph_relation,
-                at_time=at_time, include_metadata=include_metadata,
-                decay=decay, index=index)
+        # two-phase read: settle pending device writes under the EXCLUSIVE
+        # side (staging donates state buffers — it must not race readers),
+        # then run the pure device search under the SHARED side so
+        # concurrent clients don't serialize. If a writer slips in between
+        # the two lock acquisitions, re-settle and retry.
+        kwargs = dict(ef=ef, filter=filter, text_query=text_query,
+                      alpha=alpha, graph_root=graph_root,
+                      graph_depth=graph_depth, graph_relation=graph_relation,
+                      at_time=at_time, include_metadata=include_metadata,
+                      decay=decay, index=index)
+        for _ in range(8):
+            with self._lock:
+                idx = h.index
+                settle = getattr(idx, "settle_for_serving", None)
+                if settle is not None:
+                    settle()
+                else:
+                    getattr(idx, "flush", lambda: None)()
+            with self._lock.read():
+                if idx is not h.index:
+                    continue                      # index swapped under us
+                dirty = getattr(idx, "serving_dirty", None)
+                if dirty is not None and dirty():
+                    continue                      # writer snuck in: retry
+                return self._search_locked(h, idx, q, B, k, **kwargs)
+        with self._lock:          # pathological write pressure: go exclusive
+            return self._search_locked(h, h.index, q, B, k, **kwargs)
 
     def _search_locked(self, h, idx, q, B, k, *, ef, filter, text_query,
                        alpha, graph_root, graph_depth, graph_relation,
@@ -526,13 +552,14 @@ class Engine:
                 text_scores = {r: s for r, s in text_scores.items()
                                if r < cap and allow[r]}
 
-        vec_hits: list[dict[int, float]] = [{} for _ in range(B)]
         text_only = text_query and _is_zero(q)
         if not text_only and len(idx) > 0:
             fetch = max(k, (ef or 0))
             if text_query or (decay and h.memory.enabled):
                 fetch = max(fetch, 2 * k)  # headroom for re-ranking
             d, rows_out = idx.search(q, fetch, ef=ef, allow_rows=allow)
+            d = np.asarray(d, np.float32)
+            rows_out = np.asarray(rows_out, np.int64)
             if not text_scores and not (decay and h.memory.enabled):
                 # vectorized fast path: no fusion/decay re-ranking needed —
                 # normalize scores as one numpy op and assemble hits in a
@@ -540,39 +567,117 @@ class Engine:
                 # per query at B=4096)
                 return self._assemble_fast(h, idx, d, rows_out, B, k,
                                            include_metadata)
-            for b in range(B):
-                for j in range(rows_out.shape[1]):
-                    r = int(rows_out[b, j])
-                    if r >= 0:
-                        vec_hits[b][r] = float(d[b, j])
+        else:
+            d = np.zeros((B, 0), np.float32)
+            rows_out = np.zeros((B, 0), np.int64)
+        return self._assemble_fused(
+            h, idx, d, rows_out, B, k, text_scores=text_scores,
+            alpha=alpha, decay=decay, include_metadata=include_metadata)
 
-        out = []
-        now = time.time()
+    # cap on text-branch candidates folded into the vectorized fusion
+    # (BM25 can match thousands of rows; beyond the top few hundred they
+    # cannot reach the fused top-k at any alpha)
+    TEXT_CAND_CAP = 512
+
+    def _assemble_fused(self, h, idx, d: np.ndarray, rows_out: np.ndarray,
+                        B: int, k: int, *, text_scores: dict[int, float],
+                        alpha: float, decay: bool, include_metadata: bool
+                        ) -> list[list[dict[str, Any]]]:
+        """Vectorized fusion + decay assembly (ops.go:1071-1186 semantics —
+        min-max normalize both branches, alpha-fuse over the union, decay,
+        top-k): arrays end-to-end, per-hit dicts only for the final k."""
+        F = rows_out.shape[1]
+        valid = rows_out >= 0
+        if F == 0:
+            vec_sim = np.zeros((B, 0), np.float64)
+        else:
+            dm = np.where(valid, d, np.nan)
+            all_nan = ~valid.any(axis=1, keepdims=True)
+            with np.errstate(invalid="ignore"):
+                lo = np.nanmin(np.where(all_nan, 0.0, dm), axis=1,
+                               keepdims=True)
+                hi = np.nanmax(np.where(all_nan, 0.0, dm), axis=1,
+                               keepdims=True)
+            span = hi - lo
+            ok_span = span > 0
+            vec_sim = np.where(ok_span,
+                               (hi - d) / np.where(ok_span, span, 1.0),
+                               1.0).astype(np.float64)
+            vec_sim = np.where(valid, vec_sim, -np.inf)
+
+        if text_scores:
+            items = sorted(text_scores.items(), key=lambda kv: -kv[1])
+            cap_t = max(self.TEXT_CAND_CAP, 4 * k)
+            items = items[:cap_t]
+            tr = np.array([r for r, _ in items], np.int64)
+            ts = np.array([s for _, s in items], np.float64)
+            t_lo, t_hi = ts.min(), ts.max()
+            tsn = np.ones_like(ts) if t_hi <= t_lo \
+                else (ts - t_lo) / (t_hi - t_lo)
+            order = np.argsort(tr, kind="stable")
+            tr, tsn = tr[order], tsn[order]
+            T = tr.size
+            # text score for every vec candidate (sorted lookup)
+            pos = np.searchsorted(tr, np.where(valid, rows_out, 0))
+            pos = np.minimum(pos, T - 1)
+            tmatch = valid & (tr[pos] == rows_out)
+            text_of_vec = np.where(tmatch, tsn[pos], 0.0)
+            # appended text-only candidates; mask out rows already in the
+            # vec candidate set of the same query
+            dup = (rows_out[:, :, None] == tr[None, None, :]).any(axis=1)
+            R_all = np.concatenate(
+                [rows_out, np.broadcast_to(tr, (B, T))], axis=1)
+            vec_all = np.concatenate(
+                [np.where(valid, vec_sim, 0.0),
+                 np.zeros((B, T))], axis=1)
+            text_all = np.concatenate(
+                [text_of_vec, np.broadcast_to(tsn, (B, T))], axis=1)
+            fused = alpha * vec_all + (1.0 - alpha) * text_all
+            fused[:, :F] = np.where(valid, fused[:, :F], -np.inf)
+            fused[:, F:] = np.where(dup, -np.inf, fused[:, F:])
+        else:
+            R_all = rows_out
+            fused = vec_sim
+
+        if decay and h.memory.enabled:
+            now = time.time()
+            factors = fusion.decay_factors(h.meta.decay, R_all, h.memory,
+                                           now)
+            fused = np.where(np.isfinite(fused), fused * factors, fused)
+
+        kk = min(k, fused.shape[1]) if fused.shape[1] else 0
+        out: list[list[dict[str, Any]]] = []
+        if kk == 0:
+            return [[] for _ in range(B)]
+        part = np.argpartition(-fused, kk - 1, axis=1)[:, :kk]
+        psc = np.take_along_axis(fused, part, axis=1)
+        order = np.argsort(-psc, axis=1, kind="stable")
+        top = np.take_along_axis(part, order, axis=1)
+        top_sc = np.take_along_axis(psc, order, axis=1)
+        top_rows = np.take_along_axis(R_all, top, axis=1)
+
+        row_to_ext = idx.ids.row_to_ext
+        n_rows = len(row_to_ext)
+        get_meta = h.meta.get
+        d_l = d.tolist()
         for b in range(B):
-            vec_sim = fusion.minmax_normalize(vec_hits[b], invert=True)
-            if text_scores:
-                fused = fusion.fuse(vec_sim,
-                                    fusion.minmax_normalize(text_scores),
-                                    alpha)
-            else:
-                fused = vec_sim
             hits = []
-            for r, score in fused.items():
-                meta = h.meta.get(r)
-                if decay and h.memory.enabled:
-                    score *= fusion.decay_factor(meta, h.memory, now)
-                ext = idx.ids.row_to_ext[r] if r < len(idx.ids.row_to_ext) \
-                    else None
+            for j in range(kk):
+                sc = top_sc[b, j]
+                if not np.isfinite(sc):
+                    continue
+                r = int(top_rows[b, j])
+                ext = row_to_ext[r] if 0 <= r < n_rows else None
                 if ext is None:
                     continue
-                hit = {"id": ext, "score": score}
-                if r in vec_hits[b]:
-                    hit["distance"] = vec_hits[b][r]
+                hit = {"id": ext, "score": float(sc)}
+                cj = int(top[b, j])
+                if cj < F and rows_out[b, cj] >= 0:
+                    hit["distance"] = d_l[b][cj]
                 if include_metadata:
-                    hit["metadata"] = meta or {}
+                    hit["metadata"] = get_meta(r) or {}
                 hits.append(hit)
-            hits.sort(key=lambda x: -x["score"])
-            out.append(hits[:k])
+            out.append(hits)
         return out
 
     def _assemble_fast(self, h, idx, d: np.ndarray, rows_out: np.ndarray,
@@ -960,8 +1065,10 @@ class Engine:
                 idx = index_io.load_index(st, arrays, name)
                 h = IndexHandle(name, idx,
                                 language=st.get("language", "english"))
-                for r, m in (st.get("metadata") or {}).items():
-                    h.meta.set(int(r), m)
+                metas = st.get("metadata") or {}
+                if metas:
+                    h.meta.set_batch([int(r) for r in metas],
+                                     list(metas.values()))
             h.memory = _memory_from_state(st.get("memory") or {})
             h.auto_links = [AutoLinkRule(**r)
                             for r in st.get("auto_links") or []]

@@ -109,6 +109,61 @@ def decay_factor(meta: Optional[dict[str, Any]], cfg: MemoryConfig,
     return 0.5 ** (age / half_life)
 
 
+def decay_factors(cols, rows: "np.ndarray", cfg: MemoryConfig,
+                  now: Optional[float] = None) -> "np.ndarray":
+    """Vectorized decay_factor over a row array using the columnar mirror
+    (metadata.DecayColumns). rows may contain -1 / out-of-range entries
+    (padding) — those get factor 1.0. Matches decay_factor element-wise."""
+    import numpy as np
+    rows = np.asarray(rows, np.int64)
+    out = np.ones(rows.shape, np.float64)
+    if not cfg.enabled or rows.size == 0:
+        return out
+    valid = (rows >= 0) & (rows < cols.cap)
+    r = np.where(valid, rows, 0)
+    ref = cols.accessed[r]
+    ref = np.where(np.isnan(ref), cols.created[r], ref)
+    active = valid & ~cols.pinned[r] & ~np.isnan(ref)
+    if not active.any():
+        return out
+    now = now if now is not None else time.time()
+    age = np.maximum(now - ref, 0.0)
+
+    # per-layer half-life / model override tables (few layers; built per call)
+    n_layers = len(cols.layer_names)
+    hl_by_layer = np.full(n_layers + 1, cfg.decay_half_life)
+    model_by_layer = np.full(n_layers + 1, _MODEL_IDS.get(
+        cfg.decay_model, 0), np.int8)
+    for i, name in enumerate(cols.layer_names):
+        lc = cfg.layers.get(name)
+        if lc is None:
+            continue
+        if lc.decay_half_life > 0:
+            hl_by_layer[i] = lc.decay_half_life
+        if lc.decay_model:
+            model_by_layer[i] = _MODEL_IDS.get(lc.decay_model, 0)
+    lid = cols.layer[r].astype(np.int64)
+    lid = np.where(lid >= 0, lid, n_layers)          # last slot = defaults
+    half_life = hl_by_layer[lid]
+    model = model_by_layer[lid]
+    active &= half_life > 0
+    hl = np.where(half_life > 0, half_life, 1.0)
+
+    with np.errstate(over="ignore", invalid="ignore"):
+        exp_f = 0.5 ** (age / hl)
+        lin_f = np.maximum(0.0, 1.0 - age / (2.0 * hl))
+        step_f = np.where(age < hl, 1.0, 0.5)
+        s = hl * (1.0 + np.log1p(
+            np.maximum(cols.count[r].astype(np.float64), 0.0)))
+        ebb_f = np.exp(-age / s)
+    f = np.select([model == 1, model == 2, model == 3],
+                  [lin_f, step_f, ebb_f], default=exp_f)
+    return np.where(active, f, out)
+
+
+_MODEL_IDS = {"exponential": 0, "linear": 1, "step": 2, "ebbinghaus": 3}
+
+
 def _truthy(v: Any) -> bool:
     if isinstance(v, str):
         return v.lower() in ("true", "1", "yes")

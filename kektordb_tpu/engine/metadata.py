@@ -40,41 +40,94 @@ def _as_number(v: Any) -> Optional[float]:
 
 class NumericColumn:
     """Sorted-column replacement for the reference's per-key B-tree
-    (core.go:949,903)."""
+    (core.go:949,903) — incremental like the B-tree: a sorted base plus a
+    small unsorted pending overlay and a tombstone set, merged amortizedly
+    (a full re-sort per write would be O(N log N) per insert at 1M rows)."""
+
+    MERGE_PEND = 2048
 
     def __init__(self) -> None:
         self.values: dict[int, float] = {}
-        self._sorted: Optional[tuple[np.ndarray, np.ndarray]] = None
+        self._base_vals = np.empty(0, np.float64)
+        self._base_rows = np.empty(0, np.int64)
+        self._pend: dict[int, float] = {}
+        self._dead: set[int] = set()
+        self._dead_arr: Optional[np.ndarray] = None
 
     def set(self, row: int, v: float) -> None:
+        old = self.values.get(row)
+        if old is not None and row not in self._pend:
+            self._dead.add(row)          # stale copy lives in the base
+            self._dead_arr = None
         self.values[row] = v
-        self._sorted = None
+        self._pend[row] = v
+        if len(self._pend) >= max(self.MERGE_PEND, len(self.values) // 8):
+            self._merge()
+
+    def set_batch(self, rows: Iterable[int], vals: Iterable[float]) -> None:
+        for r, v in zip(rows, vals):
+            old = self.values.get(r)
+            if old is not None and r not in self._pend:
+                self._dead.add(r)
+            self.values[r] = v
+            self._pend[r] = v
+        self._dead_arr = None
+        if len(self._pend) >= max(self.MERGE_PEND, len(self.values) // 8):
+            self._merge()
 
     def remove(self, row: int) -> None:
-        if self.values.pop(row, None) is not None:
-            self._sorted = None
+        if self.values.pop(row, None) is None:
+            return
+        if self._pend.pop(row, None) is None:
+            self._dead.add(row)
+            self._dead_arr = None
+        if len(self._dead) > max(1024, len(self.values) // 4):
+            self._merge()
 
-    def _cache(self) -> tuple[np.ndarray, np.ndarray]:
-        if self._sorted is None:
-            rows = np.fromiter(self.values.keys(), np.int64,
-                               count=len(self.values))
-            vals = np.fromiter(self.values.values(), np.float64,
-                               count=len(self.values))
-            order = np.argsort(vals, kind="stable")
-            self._sorted = (vals[order], rows[order])
-        return self._sorted
+    def _merge(self) -> None:
+        rows = np.fromiter(self.values.keys(), np.int64,
+                           count=len(self.values))
+        vals = np.fromiter(self.values.values(), np.float64,
+                           count=len(self.values))
+        order = np.argsort(vals, kind="stable")
+        self._base_vals, self._base_rows = vals[order], rows[order]
+        self._pend.clear()
+        self._dead.clear()
+        self._dead_arr = None
 
     def range_rows(self, op: str, v: float) -> np.ndarray:
-        vals, rows = self._cache()
+        vals, rows = self._base_vals, self._base_rows
         if op == "<":
-            return rows[: np.searchsorted(vals, v, "left")]
-        if op == "<=":
-            return rows[: np.searchsorted(vals, v, "right")]
-        if op == ">":
-            return rows[np.searchsorted(vals, v, "right"):]
-        if op == ">=":
-            return rows[np.searchsorted(vals, v, "left"):]
-        raise ValueError(op)
+            out = rows[: np.searchsorted(vals, v, "left")]
+        elif op == "<=":
+            out = rows[: np.searchsorted(vals, v, "right")]
+        elif op == ">":
+            out = rows[np.searchsorted(vals, v, "right"):]
+        elif op == ">=":
+            out = rows[np.searchsorted(vals, v, "left"):]
+        else:
+            raise ValueError(op)
+        if self._dead:
+            if self._dead_arr is None:
+                self._dead_arr = np.fromiter(self._dead, np.int64,
+                                             count=len(self._dead))
+                self._dead_arr.sort()
+            out = out[~np.isin(out, self._dead_arr)]
+        if self._pend:
+            pr = np.fromiter(self._pend.keys(), np.int64,
+                             count=len(self._pend))
+            pv = np.fromiter(self._pend.values(), np.float64,
+                             count=len(self._pend))
+            if op == "<":
+                sel = pv < v
+            elif op == "<=":
+                sel = pv <= v
+            elif op == ">":
+                sel = pv > v
+            else:
+                sel = pv >= v
+            out = np.concatenate([out, pr[sel]])
+        return out
 
 
 class PostingSet(set):
@@ -96,10 +149,84 @@ class PostingSet(set):
         super().discard(x)
         self._arr = None
 
+    def update(self, *others):
+        super().update(*others)
+        self._arr = None
+
     def rows(self) -> np.ndarray:
         if self._arr is None:
             self._arr = np.fromiter(self, np.int64, len(self))
         return self._arr
+
+
+class DecayColumns:
+    """Columnar mirror of the system memory fields (_created_at,
+    _last_accessed, _access_count, _pinned, _memory_layer) so query-time
+    decay vectorizes over the whole result batch instead of one
+    h.meta.get(row) dict per hit (the reference reads node metadata per
+    hit, ops.go:1100-1186 — fine at 881 QPS, not at 200k)."""
+
+    def __init__(self) -> None:
+        self.cap = 0
+        self.created = np.empty(0, np.float64)      # NaN = absent
+        self.accessed = np.empty(0, np.float64)
+        self.count = np.empty(0, np.float32)
+        self.pinned = np.empty(0, bool)
+        self.layer = np.empty(0, np.int16)          # -1 = none
+        self.layer_names: list[str] = []
+        self._layer_ids: dict[str, int] = {}
+
+    def _ensure(self, row: int) -> None:
+        if row < self.cap:
+            return
+        new_cap = max(1024, self.cap)
+        while new_cap <= row:
+            new_cap *= 2
+        n = new_cap - self.cap
+        self.created = np.concatenate([self.created, np.full(n, np.nan)])
+        self.accessed = np.concatenate([self.accessed, np.full(n, np.nan)])
+        self.count = np.concatenate([self.count, np.zeros(n, np.float32)])
+        self.pinned = np.concatenate([self.pinned, np.zeros(n, bool)])
+        self.layer = np.concatenate(
+            [self.layer, np.full(n, -1, np.int16)])
+        self.cap = new_cap
+
+    def layer_id(self, name: str) -> int:
+        i = self._layer_ids.get(name)
+        if i is None:
+            i = len(self.layer_names)
+            self.layer_names.append(name)
+            self._layer_ids[name] = i
+        return i
+
+    def set_row(self, row: int, meta: dict[str, Any]) -> None:
+        from . import fusion as F
+        self._ensure(row)
+        ts = F._parse_ts(meta.get(F.CREATED_KEY))
+        self.created[row] = np.nan if ts is None else ts
+        ts = F._parse_ts(meta.get(F.ACCESSED_KEY))
+        self.accessed[row] = np.nan if ts is None else ts
+        try:
+            self.count[row] = float(meta.get(F.ACCESS_COUNT_KEY) or 0.0)
+        except (TypeError, ValueError):
+            self.count[row] = 0.0
+        self.pinned[row] = F._truthy(meta.get(F.PINNED_KEY))
+        layer = meta.get(F.LAYER_KEY)
+        self.layer[row] = self.layer_id(layer) \
+            if isinstance(layer, str) and layer else -1
+
+    def clear_row(self, row: int) -> None:
+        if row < self.cap:
+            self.created[row] = np.nan
+            self.accessed[row] = np.nan
+            self.count[row] = 0.0
+            self.pinned[row] = False
+            self.layer[row] = -1
+
+
+# system fields that feed DecayColumns (updated even on partial patches)
+_DECAY_KEYS = ("_created_at", "_last_accessed", "_access_count",
+               "_pinned", "_memory_layer")
 
 
 class MetadataStore:
@@ -108,31 +235,119 @@ class MetadataStore:
         self.inverted: dict[str, dict[str, PostingSet]] = {}
         self.numeric: dict[str, NumericColumn] = {}
         self.text = BM25Index(language)
+        self.decay = DecayColumns()
 
     # -- mutation (AddMetadata populates all four, core.go:1345-1523) --------
+
+    def _index_field(self, row: int, k: str, v: Any,
+                     text_fields) -> None:
+        sval = v if isinstance(v, str) else _stable_str(v)
+        self.inverted.setdefault(k, {}).setdefault(
+            sval, PostingSet()).add(row)
+        num = _as_number(v)
+        if num is not None:
+            self.numeric.setdefault(k, NumericColumn()).set(row, num)
+        if k in text_fields and isinstance(v, str):
+            self.text.add(row, k, v)
+
+    def _unindex_field(self, row: int, k: str, v: Any) -> None:
+        sval = v if isinstance(v, str) else _stable_str(v)
+        vals = self.inverted.get(k)
+        if vals and sval in vals:
+            vals[sval].discard(row)
+            if not vals[sval]:
+                del vals[sval]
+        col = self.numeric.get(k)
+        if col:
+            col.remove(row)
+
+    @staticmethod
+    def _text_fields_of(meta: dict[str, Any]):
+        tf = meta.get(INDEXED_FIELDS_KEY) or []
+        return [tf] if isinstance(tf, str) else tf
 
     def set(self, row: int, meta: dict[str, Any]) -> None:
         self.remove(row)
         self.direct[row] = dict(meta)
-        text_fields = meta.get(INDEXED_FIELDS_KEY) or []
-        if isinstance(text_fields, str):
-            text_fields = [text_fields]
+        text_fields = self._text_fields_of(meta)
         for k, v in meta.items():
             if k == INDEXED_FIELDS_KEY:
                 continue
-            sval = v if isinstance(v, str) else _stable_str(v)
+            self._index_field(row, k, v, text_fields)
+        self.decay.set_row(row, meta)
+
+    def set_batch(self, rows: Iterable[int],
+                  metas: Iterable[Optional[dict[str, Any]]]) -> None:
+        """Bulk ingest: group postings by (key, value) and insert with one
+        set.update / one NumericColumn batch per group instead of per-row
+        dict churn (VAddBatch per-item AddMetadata, ops.go:1384 — but
+        columnar)."""
+        by_kv: dict[tuple[str, str], list[int]] = {}
+        num_by_k: dict[str, tuple[list[int], list[float]]] = {}
+        for row, meta in zip(rows, metas):
+            if not meta:
+                continue
+            if row in self.direct:
+                self.remove(row)
+            self.direct[row] = dict(meta)
+            text_fields = self._text_fields_of(meta)
+            for k, v in meta.items():
+                if k == INDEXED_FIELDS_KEY:
+                    continue
+                sval = v if isinstance(v, str) else _stable_str(v)
+                by_kv.setdefault((k, sval), []).append(row)
+                num = _as_number(v)
+                if num is not None:
+                    e = num_by_k.setdefault(k, ([], []))
+                    e[0].append(row)
+                    e[1].append(num)
+                if k in text_fields and isinstance(v, str):
+                    self.text.add(row, k, v)
+            self.decay.set_row(row, meta)
+        for (k, sval), rws in by_kv.items():
             self.inverted.setdefault(k, {}).setdefault(
-                sval, PostingSet()).add(row)
-            num = _as_number(v)
-            if num is not None:
-                self.numeric.setdefault(k, NumericColumn()).set(row, num)
-            if k in text_fields and isinstance(v, str):
-                self.text.add(row, k, v)
+                sval, PostingSet()).update(rws)
+        for k, (rws, vs) in num_by_k.items():
+            self.numeric.setdefault(k, NumericColumn()).set_batch(rws, vs)
 
     def update(self, row: int, patch: dict[str, Any]) -> None:
-        merged = dict(self.direct.get(row, {}))
+        """Patch-merge: re-index only the fields the patch touches
+        (the reference re-runs AddMetadata wholesale; at 1M rows the
+        remove+reinsert of unchanged fields dominated VMETA cost)."""
+        old = self.direct.get(row)
+        if old is None:
+            self.set(row, patch)
+            return
+        if INDEXED_FIELDS_KEY in patch and \
+                patch.get(INDEXED_FIELDS_KEY) != old.get(INDEXED_FIELDS_KEY):
+            # text-field set changed: simplest correct path is a full reset
+            merged = dict(old)
+            merged.update(patch)
+            self.set(row, merged)
+            return
+        merged = dict(old)
         merged.update(patch)
-        self.set(row, merged)
+        self.direct[row] = merged
+        text_fields = self._text_fields_of(merged)
+        text_dirty = False
+        for k, v in patch.items():
+            if k == INDEXED_FIELDS_KEY:
+                continue
+            if k in old and old[k] == v and not isinstance(v, (list, dict)):
+                continue                      # unchanged field: skip
+            if k in old:
+                self._unindex_field(row, k, old[k])
+            if k in text_fields:
+                text_dirty = True
+            self._index_field(row, k, v, [])  # text handled below
+        if text_dirty:
+            self.text.remove(row)
+            for k in text_fields:
+                v = merged.get(k)
+                if isinstance(v, str):
+                    self.text.add(row, k, v)
+        if any(k in patch for k in _DECAY_KEYS):
+            self.decay.set_row(row, merged)
 
     def remove(self, row: int) -> None:
         old = self.direct.pop(row, None)
@@ -141,16 +356,9 @@ class MetadataStore:
         for k, v in old.items():
             if k == INDEXED_FIELDS_KEY:
                 continue
-            sval = v if isinstance(v, str) else _stable_str(v)
-            vals = self.inverted.get(k)
-            if vals and sval in vals:
-                vals[sval].discard(row)
-                if not vals[sval]:
-                    del vals[sval]
-            col = self.numeric.get(k)
-            if col:
-                col.remove(row)
+            self._unindex_field(row, k, v)
         self.text.remove(row)
+        self.decay.clear_row(row)
 
     def get(self, row: int) -> Optional[dict[str, Any]]:
         return self.direct.get(row)

@@ -398,6 +398,27 @@ def make_app(engine: Engine, *,
     async def vector_search(request):
         b = await body_of(request)
         name = b["index_name"]
+        qvs = b.get("query_vectors")
+        if qvs:
+            # batched search: one request carries [B, D] queries and gets
+            # per-query hit lists back — the serving-throughput API the
+            # per-query reference HTTP surface lacks (BENCHMARKS.md:7-15
+            # measures sequential single-query clients)
+            q = np.asarray(qvs, np.float32)
+            gf = b.get("graph_filter") or {}
+            hits = await asyncio.to_thread(
+                lambda: engine.search(
+                    name, q, k=int(b.get("k", 10)),
+                    ef=b.get("ef_search") or None,
+                    filter=b.get("filter") or None,
+                    text_query=b.get("text_query") or None,
+                    alpha=float(b.get("alpha", 0.5)),
+                    graph_root=gf.get("root_id"),
+                    graph_depth=int(gf.get("depth", 2)),
+                    graph_relation=gf.get("relation"),
+                    include_metadata=bool(b.get("hydrate"))))
+            return _json({"results_batch":
+                          [hits_to_results(h) for h in hits]})
         qv = b.get("query_vector")
         if not qv and b.get("query_text") and embedder is not None:
             qv = await asyncio.to_thread(embedder.embed, b["query_text"])
@@ -738,7 +759,7 @@ def make_app(engine: Engine, *,
         name = b.get("index_name") or "mcp_memory"
         sid = b.get("session_id") or request.match_info.get("sid")
         if not sid:
-            raise ValueError("session_id required")
+            return _err("session_id required", 400)
         out = await asyncio.to_thread(gardener.summarize_session, name, sid)
         if out is None:
             return _err("no memories for session", 404)

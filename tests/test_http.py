@@ -333,6 +333,36 @@ def test_sharded_index_over_http(srv):
     assert r.status_code == 400
 
 
+def test_batched_search_over_http(srv):
+    """query_vectors carries [B, D] in one request → per-query hit lists
+    (the serving-throughput API behind BENCH http_qps)."""
+    r = requests.post(srv.base + "/vector/indexes",
+                      json={"index_name": "http_batch", "m": 8})
+    assert r.status_code == 200, r.text
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(64, 8)).astype(np.float32)
+    r = requests.post(srv.base + "/vector/actions/add-batch", json={
+        "index_name": "http_batch",
+        "vectors": [{"id": f"b{i}", "vector": X[i].tolist(),
+                     "metadata": {"par": i % 2}} for i in range(64)]})
+    assert r.status_code == 200, r.text
+    r = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_batch", "query_vectors": X[:8].tolist(),
+        "k": 3})
+    assert r.status_code == 200, r.text
+    rb = r.json()["results_batch"]
+    assert len(rb) == 8
+    assert all(rb[i][0]["id"] == f"b{i}" for i in range(8))
+    # batched + filter in the same request
+    r = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_batch", "query_vectors": X[:4].tolist(),
+        "k": 3, "filter": "par = 1"})
+    assert r.status_code == 200, r.text
+    rb = r.json()["results_batch"]
+    assert len(rb) == 4
+    assert all(int(h["id"][1:]) % 2 == 1 for hits in rb for h in hits)
+
+
 def test_web_ui_pages_served(srv):
     """Dashboard + API explorer pages and the OpenAPI spec they consume
     (reference: internal/server/ui dashboard + embedded swagger)."""
@@ -340,6 +370,9 @@ def test_web_ui_pages_served(srv):
     assert r.status_code == 200 and "KektorDB-TPU" in r.text
     assert "graphCanvas" in r.text          # force-graph canvas present
     assert "EventSource" in r.text          # SSE wiring present
+    assert "requestAnimationFrame" in r.text   # live force simulation
+    assert "extract-subgraph" in r.text        # click-to-expand wiring
+    assert "sparkline" in r.text               # events/min dashboard
     r = requests.get(srv.base + "/ui/docs")
     assert r.status_code == 200 and "openapi.json" in r.text
     r = requests.get(srv.base + "/openapi.json")
