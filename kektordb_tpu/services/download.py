@@ -64,6 +64,12 @@ def fetch_model(model: str = "sentence-transformers/all-MiniLM-L6-v2",
                         fname)
             os.remove(path)
         url = HF_BASE.format(model=model, fname=fname)
+        if digest is None and fname.endswith(".safetensors"):
+            # weights fetched without a pinned digest is a supply-chain
+            # exposure — loud by design (set KEKTOR_MINILM_SHA256 to pin)
+            log.warning(
+                "downloading %s WITHOUT SHA256 verification "
+                "(KEKTOR_MINILM_SHA256 unset)", fname)
         log.info("downloading %s", url)
         r = requests.get(url, timeout=timeout, stream=True)
         r.raise_for_status()
