@@ -79,9 +79,11 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> float:
         port = site._server.sockets[0].getsockname()[1]
         url = f"http://127.0.0.1:{port}/vector/actions/search"
         B = 512
+        n_req = 16
         reqs = [{"index_name": "bench", "k": 10,
-                 "query_vectors": queries[i:i + B].tolist()}
-                for i in range(0, 16 * B, B)]
+                 "query_vectors":
+                 queries[(i * B) % max(len(queries) - B, 1):][:B].tolist()}
+                for i in range(n_req)]
         async with aiohttp.ClientSession() as sess:
             async def post(body):
                 async with sess.post(url, json=body) as r:
@@ -94,7 +96,7 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> float:
             dt = time.time() - t0
             assert all(len(o["results_batch"]) == B for o in outs)
         await runner.cleanup()
-        return 16 * B / dt
+        return n_req * B / dt
 
     try:
         qps = asyncio.run(run())

@@ -183,6 +183,26 @@ export class KektorDBClient {
     });
   }
 
+  /** Batched search: [B, D] queries in one request → per-query hit lists. */
+  async vsearchBatch(
+    indexName: string,
+    queryVectors: number[][],
+    k = 10,
+    opts: SearchOptions = {},
+  ): Promise<SearchHit[][]> {
+    const out = await this.post("/vector/actions/search", {
+      index_name: indexName,
+      query_vectors: queryVectors,
+      k,
+      filter: opts.filter,
+      text_query: opts.textQuery,
+      alpha: opts.alpha,
+      ef_search: opts.efSearch,
+      hydrate: opts.hydrate,
+    });
+    return out.results_batch;
+  }
+
   vsearchWithScores(
     indexName: string,
     queryVector: number[],

@@ -177,6 +177,27 @@ class KektorDBClient:
             body["graph_filter"] = graph_filter
         return self._post("/vector/actions/search", body)
 
+    def vsearch_batch(self, index_name: str,
+                      query_vectors: Sequence[Sequence[float]],
+                      k: int = 10, *, filter: Optional[str] = None,
+                      text_query: Optional[str] = None, alpha: float = 0.5,
+                      ef_search: Optional[int] = None,
+                      hydrate: bool = False) -> list[list[dict]]:
+        """Batched search: [B, D] queries in ONE request → per-query hit
+        lists (the serving-throughput API; single-query vsearch gets its
+        batching from the server-side request coalescer instead)."""
+        body: dict[str, Any] = {
+            "index_name": index_name, "k": k, "alpha": alpha,
+            "query_vectors": [list(map(float, q)) for q in query_vectors],
+            "hydrate": hydrate}
+        if filter:
+            body["filter"] = filter
+        if text_query:
+            body["text_query"] = text_query
+        if ef_search:
+            body["ef_search"] = ef_search
+        return self._post("/vector/actions/search", body)["results_batch"]
+
     def vsearch_with_scores(self, index_name: str,
                             query_vector: Sequence[float],
                             k: int = 10) -> list[dict]:

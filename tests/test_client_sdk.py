@@ -46,6 +46,10 @@ def test_vector_lifecycle(db):
     assert len(exp["vectors"]) == 5
     db.vdel("sdk", "a9")
     assert db.vsearch("sdk", X[9], k=1)["ids"] != ["a9"]
+    rb = db.vsearch_batch("sdk", X[3:6].tolist(), k=2)
+    assert len(rb) == 3 and rb[0][0]["id"] == "a3" and rb[2][0]["id"] == "a5"
+    rb = db.vsearch_batch("sdk", X[3:5].tolist(), k=3, filter="n > 10")
+    assert all(h["id"] != "a3" for hits in rb for h in hits)
 
 
 def test_graph_and_evolve(db):

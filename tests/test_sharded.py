@@ -214,6 +214,27 @@ def test_spmd_build_int8_shared_quantizer():
     assert sum(h[0][0] == f"v{i}" for i, h in enumerate(hits)) >= 14
 
 
+def test_capacity_scales_linearly_with_devices(sharded):
+    """SURVEY §5 'long context' equivalent, measured: each device holds
+    only its own ~N/S rows (hash-balanced), so max index size scales
+    linearly with chip count. Verified via per-device arena bytes of the
+    resident stacked state."""
+    sh, _, _ = sharded
+    n = len(sh)
+    sizes = np.array([len(s) for s in sh.shards])
+    assert sizes.sum() == n
+    # hash balance: no shard more than 2x the ideal share
+    assert sizes.max() <= 2 * (n / sh.n_shards)
+    st = sh._get_stacked()
+    total = st.vectors.nbytes
+    for piece in st.vectors.addressable_shards:
+        assert piece.data.nbytes * sh.n_shards == total   # 1/S per device
+    # the per-shard resident arrays ARE the per-device pieces (no replica)
+    for s, dev in zip(sh.shards, sh.mesh.devices.flat):
+        assert s.state.vectors.nbytes == total // sh.n_shards
+        assert s.state.vectors.devices() == {dev}
+
+
 def test_sharded_checkpoint_degrades_on_smaller_host(tmp_path):
     """A checkpoint written with more shards than this host has devices
     must load as a single unsharded index (ADVICE r2 medium), matching
