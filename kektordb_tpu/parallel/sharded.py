@@ -402,6 +402,18 @@ class ShardedHNSW:
     def run_maintenance_cycle(self) -> str:
         return ";".join(s.run_maintenance_cycle() for s in self.shards)
 
+    def ensure_linked(self, limit: Optional[int] = None) -> None:
+        for s in self.shards:
+            s.ensure_linked(limit)
+
+    def turbo_refine(self, passes: int = 1) -> None:
+        """RunTurboRefine across all shards (VImport commit path); each
+        shard's refine dispatches to its own device, so passes overlap
+        across the mesh."""
+        for s in self.shards:
+            s.turbo_refine(passes)
+        self.needs_refine = False
+
     def compress_serving(self, dtype: str = "bfloat16") -> None:
         """int8 trains ONE quantizer over a cross-shard sample and shares it
         — per-shard scales would make cross-shard scores incommensurable."""
