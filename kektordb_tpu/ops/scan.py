@@ -62,10 +62,13 @@ def g_for(n_rows: int) -> int:
 
 
 def _tiles(B: int, N: int, int8: bool = False,
-           hi_prec: bool = False) -> tuple[int, int]:
+           hi_prec: bool = False, dim: int = 128) -> tuple[int, int]:
     """(BT, ST) tile sizes: BT divides B, ST divides N, W=ST/G lane-aligned.
     The f32 HIGHEST-precision path (bf16x3 passes) needs a smaller score
-    tile to fit the VMEM scratch budget."""
+    tile to fit the VMEM scratch budget; wide vectors (dim > 128, e.g.
+    384-d sentence embeddings) scale the q/v tiles up, so ST then BT
+    shrink until the tile set fits the ~16MB scoped-VMEM limit (measured:
+    the d=128 tiling at d=384 overflows by ~1.5MB)."""
     min_bt = 32 if int8 else 16   # int8 min sublane tile is 32
     BT = 512
     while BT > min_bt and B % BT:
@@ -77,6 +80,19 @@ def _tiles(B: int, N: int, int8: bool = False,
         ST //= 2
     if N % ST:
         raise ValueError(f"row count {N} must be a multiple of 1024")
+
+    # f32-word budget: score tile + double-buffered q/v tiles. Calibrated
+    # against the known-good d=128 configs (hi_prec bf16x3 triples the
+    # matmul scratch, hence the tighter budget).
+    budget = 1_800_000 if hi_prec else 3_500_000
+
+    def words(bt: int, st: int) -> int:
+        return bt * st + 2 * st * dim + 2 * bt * dim
+
+    while ST > 1024 and words(BT, ST) > budget:
+        ST //= 2
+    while BT > min_bt and words(BT, ST) > budget:
+        BT //= 2
     return BT, ST
 
 
@@ -122,7 +138,8 @@ def _pass_a(q, vectors, biasA, biasB, *, interpret=False, fast=False):
     B, D = q.shape
     N = vectors.shape[0]
     hi_prec = vectors.dtype == jnp.float32 and not fast
-    BT, ST = _tiles(B, N, vectors.dtype == jnp.int8, hi_prec)
+    BT, ST = _tiles(B, N, vectors.dtype == jnp.int8, hi_prec,
+                    dim=D)
     G = min(g_for(N), ST // 128)     # keep W = ST/G lane-aligned (>=128)
     W = ST // G
     kernel = _make_kernel(BT, ST, vectors.dtype == jnp.int8, hi_prec, G)
@@ -165,7 +182,8 @@ def _scan_pallas(q, vectors, biasA, biasB, k, exact, interpret=False,
                  fast=False):
     N = vectors.shape[0]
     hi_prec = vectors.dtype == jnp.float32 and not fast
-    _, ST = _tiles(q.shape[0], N, vectors.dtype == jnp.int8, hi_prec)
+    _, ST = _tiles(q.shape[0], N, vectors.dtype == jnp.int8, hi_prec,
+                   dim=vectors.shape[1])
     G = min(g_for(N), ST // 128)     # must match _pass_a's choice
     W = ST // G
     gmin, garg = _pass_a(q, vectors, biasA, biasB, interpret=interpret,
