@@ -256,6 +256,27 @@ def test_sharded_checkpoint_degrades_on_smaller_host(tmp_path):
     assert all(h[0][0] == f"v{i}" for i, h in enumerate(hits))
 
 
+def test_sharded_filtered_beam_low_selectivity(sharded):
+    """Filtered beam across the mesh: per-query seeds sample each shard's
+    allowed rows in-program, so a selective filter cannot strand queries."""
+    sh, oracle, X = sharded
+    sel = [i for i in range(0, 4000, 25) if f"v{i}" in sh.ids]
+    allow = np.zeros(sh._cap, bool)
+    gids = [sh.ids.ext_to_row[f"v{i}"] for i in sel]
+    allow[gids] = True                      # ~4% selectivity
+    hits = sh.search_ids(X[:16], 5, allow_rows=allow, mode="beam")
+    ok_ext = {f"v{i}" for i in sel}
+    assert all(h[0] in ok_ext for hl in hits for h in hl)
+    o_allow = np.zeros(oracle._cap, bool)
+    o_allow[sel] = True                     # oracle row i == v{i}
+    gd, gi = oracle.search(X[:16], 5, allow_rows=o_allow)
+    hit = np.mean([
+        len({h[0] for h in hits[b]}
+            & {f"v{int(x)}" for x in np.asarray(gi)[b] if x >= 0}) / 5
+        for b in range(16)])
+    assert hit >= 0.8, hit
+
+
 def test_sharded_beam_mode(sharded):
     sh, oracle, X = sharded
     rng = np.random.default_rng(7)
