@@ -205,6 +205,16 @@ def main() -> None:
         ((got_d <= (gt_d10 * (1 + 1e-3))[:, None]) & (got >= 0)).mean())
 
     extras = {}
+    _last_mark = [time.time()]
+
+    def mark(name: str) -> None:
+        # per-section wall time to stderr (stdout stays one JSON line)
+        now = time.time()
+        print(f"[bench] {name}: {now - _last_mark[0]:.1f}s "
+              f"(elapsed {now - t_start:.0f}s)", file=sys.stderr, flush=True)
+        _last_mark[0] = now
+
+    mark("build+gt+headline")
 
     def in_budget() -> bool:
         # every extra family costs a fresh remote compile (~30-90 s through
@@ -227,6 +237,7 @@ def main() -> None:
         extras["scan_fast_recall_at_10"] = round(float(np.mean([
             len(set(map(int, gf[b])) & set(map(int, gt_ids[b]))) / 10
             for b in range(min(sample, qbatch))])), 4)
+        mark("scan_fast")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # exact (top_k) pass-B variant
@@ -244,6 +255,7 @@ def main() -> None:
         extras["scan_exact_recall_at_10"] = round(float(np.mean([
             len(set(map(int, ge[b])) & set(map(int, gt_ids[b]))) / 10
             for b in range(min(sample, qbatch))])), 4)
+        mark("scan_exact")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # graph beam path (the round-1 serving engine), per-batch sync
@@ -255,6 +267,7 @@ def main() -> None:
         extras["beam_recall_at_10"] = round(float(np.mean([
             len(set(map(int, ib[b])) & set(map(int, gt_ids[b]))) / 10
             for b in range(min(sample, qbatch))])), 4)
+        mark("beam")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # filtered scan at 50% and 1% selectivity
@@ -277,6 +290,7 @@ def main() -> None:
             i_f = np.asarray(fo[0][1])
             extras[f"filtered_{sel}pct_allowed_only"] = bool(
                 ((i_f % frac == 0) | (i_f < 0)).all())
+        mark("filtered")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # served QPS: the full Engine.search path (filter machinery, lock,
@@ -295,6 +309,59 @@ def main() -> None:
         extras["served_qps"] = round(4 * qbatch / (time.time() - t0), 1)
         eng.indexes.pop("bench")
         eng.close()
+        mark("served")
+
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        # HTTP-level QPS: real aiohttp server + pipelined client requests —
+        # the apples-to-apples number vs the reference's 881 client-side QPS
+        # (BENCHMARKS.md:7-15)
+        try:
+            extras["http_qps"] = round(_bench_http(idx, queries, qbatch), 1)
+        except Exception as exc:   # noqa: BLE001 - report, don't die
+            extras["http_qps_error"] = repr(exc)[:200]
+        mark("http")
+
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        # streaming inserts: two-stage visibility (stage on add, no graph
+        # work on the hot path)
+        scfg = HNSWConfig(m=16, ef_construction=200, ef_search=100,
+                          chunk=1024, flush_chunk=256, serve_mode="auto")
+        sidx = HNSWIndex(d, dist.L2, config=scfg)
+        seed_n = min(32_768, n)
+        sidx._grow_for(seed_n + 16384)
+        sidx.add_batch([f"p{i}" for i in range(seed_n)], base[:seed_n])
+        jax.block_until_ready(sidx.state.nbrs)
+        ns = 8192
+        stream = make_sift_like(ns + 512, d, seed=777)
+        # warm the stage-path jits so the timed loop measures steady state
+        for i in range(512):
+            sidx.add(f"w{i}", stream[ns + i])
+        sidx._stage_pending()
+        jax.block_until_ready(sidx.state.vectors)
+        t0 = time.time()
+        for i in range(ns):
+            sidx.add(f"s{i}", stream[i])
+        sidx._stage_pending()
+        jax.block_until_ready(sidx.state.vectors)
+        extras["streaming_insert_per_s"] = round(ns / (time.time() - t0), 1)
+        # steady-state WITH graph linking: stage + drain the link backlog
+        # inside the timed region (VERDICT r2 weak #5)
+        sidx.flush()
+        stream2 = make_sift_like(ns, d, seed=778)
+        t0 = time.time()
+        for i in range(ns):
+            sidx.add(f"t{i}", stream2[i])
+        sidx.flush()
+        jax.block_until_ready(sidx.state.nbrs)
+        extras["streaming_linked_per_s"] = round(ns / (time.time() - t0), 1)
+        extras["streaming_backlog_bound"] = sidx.config.max_unlinked
+        dd, ii = sidx.search(stream[:256], 1)
+        hit = float(np.mean([
+            sidx.ids.row_to_ext[r] == f"s{b}" if r >= 0 else False
+            for b, r in enumerate(np.asarray(ii)[:, 0])]))
+        extras["streaming_top1_self_hit"] = round(hit, 4)
+        del sidx
+        mark("streaming")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # cosine 384-d normalized (GloVe-style; reference BENCHMARKS.md:27-50
@@ -357,6 +424,7 @@ def main() -> None:
             cidx.compress_serving("int8")
             cos_qps_recall("int8")
         del cidx, Craw, cbase
+        mark("cosine+int8")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # hybrid fusion (vector + BM25 + filter) and graph-restricted
@@ -380,11 +448,17 @@ def main() -> None:
         mask = filtlib.evaluate_mask("grp = 7 AND score > 0.25", h.meta,
                                      live)
         extras["filter_eval_1m_ms"] = round((time.time() - t0) * 1e3, 1)
-        t0 = time.time()
+        # warm the filtered engine program first: the timed region measures
+        # filter evaluation + engine path + device scan, not the one-off
+        # remote compile (which the first call pays)
         r = eng.search("bench", queries[:1024], k=10,
                        filter="grp = 7 AND score > 0.25", decay=False)
+        t0 = time.time()
+        for j in range(2):
+            r = eng.search("bench", queries[j * 1024:(j + 1) * 1024], k=10,
+                           filter="grp = 7 AND score > 0.25", decay=False)
         extras["filtered_real_filter_qps"] = round(
-            1024 / (time.time() - t0), 1)
+            2 * 1024 / (time.time() - t0), 1)
         assert all(hh["id"] for hh in r[0]), "filtered search returned junk"
         del metas_1m
 
@@ -421,56 +495,7 @@ def main() -> None:
             4 * 256 / (time.time() - t0), 1)
         eng.indexes.pop("bench")
         eng.close()
-
-    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
-        # HTTP-level QPS: real aiohttp server + pipelined client requests —
-        # the apples-to-apples number vs the reference's 881 client-side QPS
-        # (BENCHMARKS.md:7-15)
-        try:
-            extras["http_qps"] = round(_bench_http(idx, queries, qbatch), 1)
-        except Exception as exc:   # noqa: BLE001 - report, don't die
-            extras["http_qps_error"] = repr(exc)[:200]
-
-    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
-        # streaming inserts: two-stage visibility (stage on add, no graph
-        # work on the hot path)
-        scfg = HNSWConfig(m=16, ef_construction=200, ef_search=100,
-                          chunk=1024, flush_chunk=256, serve_mode="auto")
-        sidx = HNSWIndex(d, dist.L2, config=scfg)
-        seed_n = min(32_768, n)
-        sidx._grow_for(seed_n + 16384)
-        sidx.add_batch([f"p{i}" for i in range(seed_n)], base[:seed_n])
-        jax.block_until_ready(sidx.state.nbrs)
-        ns = 8192
-        stream = make_sift_like(ns + 512, d, seed=777)
-        # warm the stage-path jits so the timed loop measures steady state
-        for i in range(512):
-            sidx.add(f"w{i}", stream[ns + i])
-        sidx._stage_pending()
-        jax.block_until_ready(sidx.state.vectors)
-        t0 = time.time()
-        for i in range(ns):
-            sidx.add(f"s{i}", stream[i])
-        sidx._stage_pending()
-        jax.block_until_ready(sidx.state.vectors)
-        extras["streaming_insert_per_s"] = round(ns / (time.time() - t0), 1)
-        # steady-state WITH graph linking: stage + drain the link backlog
-        # inside the timed region (VERDICT r2 weak #5)
-        sidx.flush()
-        stream2 = make_sift_like(ns, d, seed=778)
-        t0 = time.time()
-        for i in range(ns):
-            sidx.add(f"t{i}", stream2[i])
-        sidx.flush()
-        jax.block_until_ready(sidx.state.nbrs)
-        extras["streaming_linked_per_s"] = round(ns / (time.time() - t0), 1)
-        extras["streaming_backlog_bound"] = sidx.config.max_unlinked
-        dd, ii = sidx.search(stream[:256], 1)
-        hit = float(np.mean([
-            sidx.ids.row_to_ext[r] == f"s{b}" if r >= 0 else False
-            for b, r in enumerate(np.asarray(ii)[:, 0])]))
-        extras["streaming_top1_self_hit"] = round(hit, 4)
-        del sidx
+        mark("meta+hybrid+graph")
 
     baseline_qps = 881.0  # BENCHMARKS.md:63
     print(json.dumps({

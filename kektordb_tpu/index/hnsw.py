@@ -43,6 +43,15 @@ class HNSWConfig:
     # per-iter gather (E*M0 rows) buys ~+20% QPS at ~-0.002 recall
     # (measured 1M: e8 5.5k @ 0.9979 vs e4 6.6k @ 0.9960)
     serve_expand: int = 4
+    # opt-in: serving beam navigates via a contiguous [cap, W] copy of the
+    # first W (distance-sorted) level-0 neighbor slots — halves the gather
+    # rows per pop (a separate narrow array is required: the wide table's
+    # minor-dim slice hits a slow strided-gather path on TPU). Measured at
+    # 1M SIFT-like: W=16 +44% QPS but recall@10 0.996→0.891 (the link
+    # long-tail carries navigation on clustered data), so default OFF —
+    # a latency-over-recall knob, not a free win. Builds/refines always
+    # use the full-width table.
+    serve_nav_width: int = 0
     vacuum_deleted_ratio: float = 0.10   # optimizer.go:49-126 default
     fast_ef: int = 40                # AddBatchFast floor (hnsw_index.go:1461-1467)
     # Serving path (ops/scan.py rationale): "auto" links the graph on insert
@@ -138,6 +147,9 @@ class HNSWIndex:
         self._pending: list[tuple[int, np.ndarray]] = []
         self._pending_rows: set[int] = set()
         self._unlinked: list[tuple[int, int]] = []   # (row, level)
+        # serving nav table cache (see _nav_table)
+        self._nav: Optional[jnp.ndarray] = None
+        self._nav_version = -1
 
     # -- basic accessors -------------------------------------------------
 
@@ -158,6 +170,23 @@ class HNSWIndex:
         import jax
         self._device = device
         self.state = jax.device_put(self._state, device)
+
+    def _nav_table(self) -> Optional[jnp.ndarray]:
+        """Contiguous [cap, W] device copy of the first W (distance-sorted)
+        level-0 neighbor slots, rebuilt lazily per state version. The beam
+        navigates from it instead of the wide nbrs table: halves the rows
+        gathered per pop (the dominant serving-beam cost) — and a SEPARATE
+        narrow array is required because slicing the minor dim of a gathered
+        wide row hits a slow strided-gather path on TPU (measured round 1).
+        Builds/refines keep the full-width table for graph quality."""
+        W = self.config.serve_nav_width
+        M0 = self.state.nbrs.shape[1]
+        if not W or W >= M0:
+            return None
+        if self._nav is None or self._nav_version != self._version:
+            self._nav = self.state.nbrs[:, :W]   # eager slice → fresh
+            self._nav_version = self._version    # dense [cap, W] buffer
+        return self._nav
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -600,7 +629,8 @@ class HNSWIndex:
                     qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), qn.dtype)])
             d, i = K.beam_search(self.state, q, qn, metric=self.metric,
                                  ef=ef, allow=allow, dual=dual,
-                                 expand=self.config.serve_expand)
+                                 expand=self.config.serve_expand,
+                                 nav=self._nav_table())
             d_np = np.asarray(d[:B, :k])
             i = np.asarray(i[:B, :k])
         if self._serve_quantized and self.metric == dist.L2:

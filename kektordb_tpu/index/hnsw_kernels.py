@@ -190,6 +190,13 @@ def beam_search(
                                            # slots (rows are distance-sorted;
                                            # 0 = all). Halves gather rows at
                                            # small recall cost.
+    nav: Optional[jax.Array] = None,       # [cap, W] contiguous narrow copy
+                                           # of nbrs[:, :W]. Unlike nav_width
+                                           # (which slices the wide table —
+                                           # a slow strided-gather path on
+                                           # TPU), full-row gathers from a
+                                           # separate narrow array stay on
+                                           # XLA's fast gather path.
     for_insert: bool = False,              # kept for call-site clarity
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (res_d [B, ef] ascending, res_i [B, ef]; +inf/-1 padded).
@@ -214,7 +221,9 @@ def beam_search(
     """
     B, _ = q.shape
     M0 = state.nbrs.shape[1]
-    if nav_width and nav_width < M0:
+    if nav is not None:
+        M0 = nav.shape[1]
+    elif nav_width and nav_width < M0:
         M0 = nav_width
     E = max(1, min(expand, ef))   # cannot pop more than the pool width
     C = E * M0
@@ -319,7 +328,10 @@ def beam_search(
         hist = jax.lax.dynamic_update_slice(
             hist, sel_i, (0, (it * E) % R))
 
-        nb = state.nbrs[jnp.maximum(sel_i, 0), :M0].reshape(B, C)
+        if nav is not None:
+            nb = nav[jnp.maximum(sel_i, 0)].reshape(B, C)
+        else:
+            nb = state.nbrs[jnp.maximum(sel_i, 0), :M0].reshape(B, C)
         nb = jnp.where((sel_i >= 0).repeat(M0, axis=1), nb, -1)
         # structural dedup: vs pool, vs expansion history, vs earlier slot
         dup = jnp.any(nb[:, :, None] == cand_i[:, None, :], axis=2)

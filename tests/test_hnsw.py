@@ -266,3 +266,37 @@ def test_streaming_backpressure_bounds_backlog():
     assert not idx._unlinked
     d, r = idx.search(X[:8], 1, mode="beam")
     assert (np.asarray(r)[:, 0] == np.arange(8)).mean() >= 0.8
+
+
+def test_nav_table_beam_serving():
+    """serve_nav_width: the beam navigates from a contiguous [cap, W] copy
+    of the first W neighbor slots. Recall must stay close to the full-width
+    beam, the cache must track state version (rebuilt after writes), and
+    builds must keep using the full table (graph quality unchanged)."""
+    n, d = 4000, 24
+    X = make_data(n, d, seed=5)
+    cfg = HNSWConfig(m=12, ef_construction=100, ef_search=100, chunk=512,
+                     serve_mode="beam", serve_nav_width=16)
+    idx = HNSWIndex(d, dist.L2, config=cfg)
+    idx.add_batch([f"v{i}" for i in range(n)], X)
+    oracle = BruteForceIndex(d, dist.L2)
+    oracle.add_batch([f"v{i}" for i in range(n)], X)
+    q = make_data(64, d, seed=6)
+
+    nav = idx._nav_table()
+    assert nav is not None and nav.shape == (idx._cap, 16)
+    rec_nav = recall_at_k(idx, oracle, q)
+    idx.config.serve_nav_width = 0          # full-width comparison
+    rec_full = recall_at_k(idx, oracle, q)
+    assert rec_nav >= rec_full - 0.06, (rec_nav, rec_full)
+    assert rec_nav >= 0.85, rec_nav
+
+    # cache invalidation: new rows must appear in the nav table's world
+    idx.config.serve_nav_width = 16
+    v0 = idx._nav_version
+    idx.add("extra", X[0] + 0.001)
+    idx.flush()
+    _ = idx.search(q[:8], 10)
+    assert idx._nav_version != v0
+    d1, r1 = idx.search(X[:1] + 0.001, 1)
+    assert idx.ids.row_to_ext[int(np.asarray(r1)[0, 0])] in ("extra", "v0")
