@@ -55,10 +55,12 @@ def make_sift_like(n: int, d: int = 128, seed: int = 1234) -> np.ndarray:
     return out
 
 
-def _bench_http(idx, queries: np.ndarray, qbatch: int) -> float:
+def _bench_http(idx, queries: np.ndarray, qbatch: int) -> dict:
     """Full HTTP path: aiohttp server in-process + pipelined client
-    requests carrying batched queries (JSON both ways). Returns QPS."""
+    requests carrying batched queries. Measures the plain-JSON wire
+    format AND the columnar + base64-f32 fast path. Returns {name: QPS}."""
     import asyncio
+    import base64
 
     import aiohttp
     from aiohttp import web
@@ -70,7 +72,7 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> float:
     eng.create_index("bench", m=16)
     eng.indexes["bench"].index = idx
 
-    async def run() -> float:
+    async def run() -> dict:
         app = make_app(eng)
         runner = web.AppRunner(app)
         await runner.setup()
@@ -80,30 +82,46 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> float:
         url = f"http://127.0.0.1:{port}/vector/actions/search"
         B = 512
         n_req = 16
-        reqs = [{"index_name": "bench", "k": 10,
-                 "query_vectors":
-                 queries[(i * B) % max(len(queries) - B, 1):][:B].tolist()}
-                for i in range(n_req)]
+
+        def window(i):
+            return queries[(i * B) % max(len(queries) - B, 1):][:B]
+
+        plain = [{"index_name": "bench", "k": 10,
+                  "query_vectors": window(i).tolist()}
+                 for i in range(n_req)]
+        col = [{"index_name": "bench", "k": 10, "columnar": True,
+                "query_vectors_b64":
+                base64.b64encode(np.ascontiguousarray(
+                    window(i), "<f4").tobytes()).decode(),
+                "query_shape": [B, queries.shape[1]]}
+               for i in range(n_req)]
+        out = {}
         async with aiohttp.ClientSession() as sess:
             async def post(body):
                 async with sess.post(url, json=body) as r:
-                    out = await r.json()
-                    assert r.status == 200, out
-                    return out
-            await post(reqs[0])                      # warm compile
+                    o = await r.json()
+                    assert r.status == 200, o
+                    return o
+            await post(plain[0])                     # warm compile
             t0 = time.time()
-            outs = await asyncio.gather(*[post(b) for b in reqs])
-            dt = time.time() - t0
+            outs = await asyncio.gather(*[post(b) for b in plain])
+            out["http_qps"] = n_req * B / (time.time() - t0)
             assert all(len(o["results_batch"]) == B for o in outs)
+            await post(col[0])
+            t0 = time.time()
+            outs = await asyncio.gather(*[post(b) for b in col])
+            out["http_columnar_qps"] = n_req * B / (time.time() - t0)
+            assert all(len(o["ids"]) == B and len(o["ids"][0]) == 10
+                       for o in outs)
         await runner.cleanup()
-        return n_req * B / dt
+        return out
 
     try:
-        qps = asyncio.run(run())
+        res = asyncio.run(run())
     finally:
         eng.indexes.pop("bench", None)
         eng.close()
-    return qps
+    return res
 
 
 def main() -> None:
@@ -316,7 +334,8 @@ def main() -> None:
         # the apples-to-apples number vs the reference's 881 client-side QPS
         # (BENCHMARKS.md:7-15)
         try:
-            extras["http_qps"] = round(_bench_http(idx, queries, qbatch), 1)
+            for kname, v in _bench_http(idx, queries, qbatch).items():
+                extras[kname] = round(v, 1)
         except Exception as exc:   # noqa: BLE001 - report, don't die
             extras["http_qps_error"] = repr(exc)[:200]
         mark("http")

@@ -203,6 +203,55 @@ export class KektorDBClient {
     return out.results_batch;
   }
 
+  /**
+   * Columnar batched search: parallel ids/scores/distances [B][<=k]
+   * arrays (~3x fewer wire bytes than per-hit dicts). Queries ship as
+   * base64 raw little-endian f32 — no JSON float parsing server-side.
+   */
+  async vsearchBatchColumnar(
+    indexName: string,
+    queryVectors: number[][] | Float32Array,
+    k = 10,
+    opts: SearchOptions & { dim?: number } = {},
+  ): Promise<{
+    ids: string[][];
+    scores: number[][];
+    distances: (number | null)[][];
+    metadata?: Record<string, unknown>[][];
+  }> {
+    let flat: Float32Array;
+    let shape: [number, number];
+    if (queryVectors instanceof Float32Array) {
+      const d = opts.dim;
+      if (!d) throw new Error("dim required with a flat Float32Array");
+      flat = queryVectors;
+      shape = [flat.length / d, d];
+    } else {
+      shape = [queryVectors.length, queryVectors[0]?.length ?? 0];
+      flat = new Float32Array(shape[0] * shape[1]);
+      queryVectors.forEach((q, i) => flat.set(q, i * shape[1]));
+    }
+    const bytes = new Uint8Array(flat.buffer, flat.byteOffset,
+      flat.byteLength);
+    let bin = "";
+    const CHUNK = 0x8000;
+    for (let i = 0; i < bytes.length; i += CHUNK) {
+      bin += String.fromCharCode(...bytes.subarray(i, i + CHUNK));
+    }
+    return this.post("/vector/actions/search", {
+      index_name: indexName,
+      query_vectors_b64: btoa(bin),
+      query_shape: shape,
+      columnar: true,
+      k,
+      filter: opts.filter,
+      text_query: opts.textQuery,
+      alpha: opts.alpha,
+      ef_search: opts.efSearch,
+      hydrate: opts.hydrate,
+    });
+  }
+
   vsearchWithScores(
     indexName: string,
     queryVector: number[],

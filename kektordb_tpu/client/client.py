@@ -182,21 +182,40 @@ class KektorDBClient:
                       k: int = 10, *, filter: Optional[str] = None,
                       text_query: Optional[str] = None, alpha: float = 0.5,
                       ef_search: Optional[int] = None,
-                      hydrate: bool = False) -> list[list[dict]]:
+                      hydrate: bool = False, columnar: bool = False,
+                      binary_queries: bool = False):
         """Batched search: [B, D] queries in ONE request → per-query hit
         lists (the serving-throughput API; single-query vsearch gets its
-        batching from the server-side request coalescer instead)."""
+        batching from the server-side request coalescer instead).
+
+        columnar=True returns {"ids", "scores", "distances"} parallel
+        [B][<=k] arrays instead of per-hit dicts (~3x fewer wire bytes);
+        binary_queries=True ships the queries as base64 raw f32 (skips
+        JSON float parsing server-side — needs numpy)."""
         body: dict[str, Any] = {
             "index_name": index_name, "k": k, "alpha": alpha,
-            "query_vectors": [list(map(float, q)) for q in query_vectors],
             "hydrate": hydrate}
+        if binary_queries:
+            import base64
+
+            import numpy as _np
+            q = _np.asarray(query_vectors, "<f4")
+            body["query_vectors_b64"] = base64.b64encode(
+                q.tobytes()).decode()
+            body["query_shape"] = list(q.shape)
+        else:
+            body["query_vectors"] = [list(map(float, q))
+                                     for q in query_vectors]
+        if columnar:
+            body["columnar"] = True
         if filter:
             body["filter"] = filter
         if text_query:
             body["text_query"] = text_query
         if ef_search:
             body["ef_search"] = ef_search
-        return self._post("/vector/actions/search", body)["results_batch"]
+        out = self._post("/vector/actions/search", body)
+        return out if columnar else out["results_batch"]
 
     def vsearch_with_scores(self, index_name: str,
                             query_vector: Sequence[float],

@@ -476,12 +476,17 @@ class Engine:
                graph_relation: Optional[str] = None,
                at_time: Optional[float] = None,
                include_metadata: bool = False,
-               decay: bool = True) -> list[list[dict[str, Any]]]:
+               decay: bool = True,
+               columnar: bool = False):
         """searchWithFusion (ops.go:896-1208): filter → allow rows; graph
         BFS → intersect; vector + BM25 (fused program); min-max normalize;
         alpha fusion; time decay; top-k.
 
         Accepts [D] or [B, D]; always returns a list of per-query hit lists.
+        With columnar=True, returns {"ids", "scores", "distances"[, "metadata"]}
+        — parallel [B][<=k] lists — skipping per-hit dict assembly (the
+        serving-path host cost at large B) and letting the HTTP layer emit
+        compact array JSON.
         """
         h = self._handle(index)
         q = np.atleast_2d(np.asarray(query, np.float32))
@@ -499,7 +504,7 @@ class Engine:
                       alpha=alpha, graph_root=graph_root,
                       graph_depth=graph_depth, graph_relation=graph_relation,
                       at_time=at_time, include_metadata=include_metadata,
-                      decay=decay, index=index)
+                      decay=decay, index=index, columnar=columnar)
         for _ in range(8):
             with self._lock:
                 idx = h.index
@@ -520,7 +525,8 @@ class Engine:
 
     def _search_locked(self, h, idx, q, B, k, *, ef, filter, text_query,
                        alpha, graph_root, graph_depth, graph_relation,
-                       at_time, include_metadata, decay, index):
+                       at_time, include_metadata, decay, index,
+                       columnar=False):
         # rows are allocated eagerly at add(); idx.search() stages/links
         # pending vectors itself as its serve mode requires.
         # Filters evaluate as numpy bitsets (the roaring-bitmap analog) —
@@ -566,13 +572,15 @@ class Engine:
                 # single pass (the per-hit dict pipeline below costs ~30us
                 # per query at B=4096)
                 return self._assemble_fast(h, idx, d, rows_out, B, k,
-                                           include_metadata)
+                                           include_metadata,
+                                           columnar=columnar)
         else:
             d = np.zeros((B, 0), np.float32)
             rows_out = np.zeros((B, 0), np.int64)
         return self._assemble_fused(
             h, idx, d, rows_out, B, k, text_scores=text_scores,
-            alpha=alpha, decay=decay, include_metadata=include_metadata)
+            alpha=alpha, decay=decay, include_metadata=include_metadata,
+            columnar=columnar)
 
     # cap on text-branch candidates folded into the vectorized fusion
     # (BM25 can match thousands of rows; beyond the top few hundred they
@@ -581,8 +589,8 @@ class Engine:
 
     def _assemble_fused(self, h, idx, d: np.ndarray, rows_out: np.ndarray,
                         B: int, k: int, *, text_scores: dict[int, float],
-                        alpha: float, decay: bool, include_metadata: bool
-                        ) -> list[list[dict[str, Any]]]:
+                        alpha: float, decay: bool, include_metadata: bool,
+                        columnar: bool = False):
         """Vectorized fusion + decay assembly (ops.go:1071-1186 semantics —
         min-max normalize both branches, alpha-fuse over the union, decay,
         top-k): arrays end-to-end, per-hit dicts only for the final k."""
@@ -648,6 +656,14 @@ class Engine:
         kk = min(k, fused.shape[1]) if fused.shape[1] else 0
         out: list[list[dict[str, Any]]] = []
         if kk == 0:
+            if columnar:
+                empt: list[list] = [[] for _ in range(B)]
+                out_c = {"ids": empt,
+                         "scores": [[] for _ in range(B)],
+                         "distances": [[] for _ in range(B)]}
+                if include_metadata:
+                    out_c["metadata"] = [[] for _ in range(B)]
+                return out_c
             return [[] for _ in range(B)]
         part = np.argpartition(-fused, kk - 1, axis=1)[:, :kk]
         psc = np.take_along_axis(fused, part, axis=1)
@@ -659,7 +675,40 @@ class Engine:
         row_to_ext = idx.ids.row_to_ext
         n_rows = len(row_to_ext)
         get_meta = h.meta.get
-        d_l = d.tolist()
+        d_l = d.astype(np.float64).round(5).tolist() if columnar \
+            else d.tolist()
+        sc_l = top_sc.round(6).tolist() if columnar else None
+        fin = np.isfinite(top_sc)
+        if columnar:
+            col_ids: list[list] = []
+            col_s: list[list] = []
+            col_d: list[list] = []
+            col_m: list[list] = []
+            for b in range(B):
+                ids_b, s_b, db_, m_b = [], [], [], []
+                for j in range(kk):
+                    if not fin[b, j]:
+                        continue
+                    r = int(top_rows[b, j])
+                    ext = row_to_ext[r] if 0 <= r < n_rows else None
+                    if ext is None:
+                        continue
+                    ids_b.append(ext)
+                    s_b.append(sc_l[b][j])
+                    cj = int(top[b, j])
+                    db_.append(d_l[b][cj]
+                               if cj < F and rows_out[b, cj] >= 0 else None)
+                    if include_metadata:
+                        m_b.append(get_meta(r) or {})
+                col_ids.append(ids_b)
+                col_s.append(s_b)
+                col_d.append(db_)
+                if include_metadata:
+                    col_m.append(m_b)
+            out_c = {"ids": col_ids, "scores": col_s, "distances": col_d}
+            if include_metadata:
+                out_c["metadata"] = col_m
+            return out_c
         for b in range(B):
             hits = []
             for j in range(kk):
@@ -681,8 +730,8 @@ class Engine:
         return out
 
     def _assemble_fast(self, h, idx, d: np.ndarray, rows_out: np.ndarray,
-                       B: int, k: int, include_metadata: bool
-                       ) -> list[list[dict[str, Any]]]:
+                       B: int, k: int, include_metadata: bool,
+                       columnar: bool = False):
         """Pure-vector result assembly (minmax_normalize semantics,
         search_utils.go:48-72, vectorized over the batch)."""
         d = np.asarray(d, np.float32)
@@ -697,10 +746,43 @@ class Engine:
                           1.0)
         row_to_ext = idx.ids.row_to_ext
         n_rows = len(row_to_ext)
-        d_l = d.tolist()
-        s_l = scores.tolist()
+        if columnar:
+            # round on the rectangular arrays (vectorized; ~1e-6 relative —
+            # shortest-repr JSON floats shrink >2x) before the ragged split
+            d_l = d.astype(np.float64).round(5).tolist()
+            s_l = scores.astype(np.float64).round(6).tolist()
+        else:
+            d_l = d.tolist()
+            s_l = scores.tolist()
         rows_l = rows_out.tolist()
         get_meta = h.meta.get
+        if columnar:
+            col_ids: list[list] = []
+            col_s: list[list] = []
+            col_d: list[list] = []
+            col_m: list[list] = []
+            for b in range(B):
+                rb, db, sb = rows_l[b], d_l[b], s_l[b]
+                ids_b, s_b, d_b, m_b = [], [], [], []
+                for j, r in enumerate(rb):
+                    if 0 <= r < n_rows and \
+                            (e := row_to_ext[r]) is not None:
+                        ids_b.append(e)
+                        s_b.append(sb[j])
+                        d_b.append(db[j])
+                        if include_metadata:
+                            m_b.append(get_meta(r) or {})
+                        if len(ids_b) == k:
+                            break
+                if include_metadata:
+                    col_m.append(m_b)
+                col_ids.append(ids_b)
+                col_s.append(s_b)
+                col_d.append(d_b)
+            out_c = {"ids": col_ids, "scores": col_s, "distances": col_d}
+            if include_metadata:
+                out_c["metadata"] = col_m
+            return out_c
         out = []
         for b in range(B):
             rb, db, sb = rows_l[b], d_l[b], s_l[b]

@@ -13,6 +13,7 @@ event loop keeps serving; the engine itself serializes writes.
 from __future__ import annotations
 
 import asyncio
+import base64
 import json
 import logging
 import os
@@ -399,13 +400,24 @@ def make_app(engine: Engine, *,
         b = await body_of(request)
         name = b["index_name"]
         qvs = b.get("query_vectors")
-        if qvs:
+        if b.get("query_vectors_b64"):
+            # binary query ingestion: base64 raw little-endian f32, row-major
+            # [B, D] (query_shape) — skips JSON float parsing for large
+            # batches (65k numbers per 512x128 request otherwise)
+            raw = base64.b64decode(b["query_vectors_b64"])
+            shape = b.get("query_shape")
+            if not shape or len(shape) != 2:
+                raise ValueError("query_shape [B, D] required with "
+                                 "query_vectors_b64")
+            qvs = np.frombuffer(raw, dtype="<f4").reshape(shape)
+        if qvs is not None and len(qvs):
             # batched search: one request carries [B, D] queries and gets
             # per-query hit lists back — the serving-throughput API the
             # per-query reference HTTP surface lacks (BENCHMARKS.md:7-15
             # measures sequential single-query clients)
             q = np.asarray(qvs, np.float32)
             gf = b.get("graph_filter") or {}
+            columnar = bool(b.get("columnar"))
             hits = await asyncio.to_thread(
                 lambda: engine.search(
                     name, q, k=int(b.get("k", 10)),
@@ -416,7 +428,12 @@ def make_app(engine: Engine, *,
                     graph_root=gf.get("root_id"),
                     graph_depth=int(gf.get("depth", 2)),
                     graph_relation=gf.get("relation"),
-                    include_metadata=bool(b.get("hydrate"))))
+                    include_metadata=bool(b.get("hydrate")),
+                    columnar=columnar))
+            if columnar:
+                # parallel [B][<=k] arrays — ~3x fewer JSON bytes and no
+                # per-hit dicts on either side of the wire
+                return _json(hits)
             return _json({"results_batch":
                           [hits_to_results(h) for h in hits]})
         qv = b.get("query_vector")

@@ -81,6 +81,41 @@ class TestIndexLifecycle:
         top = hits[0][0]["id"]
         assert int(top[1:]) < 10, f"BM25 should favor database docs, got {top}"
 
+    def test_columnar_matches_dict_results(self):
+        """columnar=True returns parallel ids/scores/distances arrays that
+        agree with the per-hit dict output on both the fast path and the
+        fused (text-fusion) path."""
+        e = mk()
+        e.create_index("idx")
+        X = vecs(20, 8, seed=2)
+        metas = [{"body": "the database engine stores vectors" if i < 10
+                  else "cats and dogs are animals",
+                  "_indexed_fields": ["body"], "par": i % 2}
+                 for i in range(20)]
+        e.add_batch("idx", [f"d{i}" for i in range(20)], X, metas)
+        # fast path
+        hits = e.search("idx", X[:4], k=3)
+        cols = e.search("idx", X[:4], k=3, columnar=True)
+        assert [row for row in cols["ids"]] == \
+            [[h["id"] for h in hh] for hh in hits]
+        for b in range(4):
+            for j, h in enumerate(hits[b]):
+                assert abs(cols["scores"][b][j] - h["score"]) < 1e-5
+                assert abs(cols["distances"][b][j] - h["distance"]) < 1e-3
+        # fused path (text fusion) + metadata
+        hits = e.search("idx", X[15], k=5, text_query="vector database",
+                        alpha=0.3, include_metadata=True)
+        cols = e.search("idx", X[15], k=5, text_query="vector database",
+                        alpha=0.3, include_metadata=True, columnar=True)
+        assert cols["ids"][0] == [h["id"] for h in hits[0]]
+        assert [m.get("par") for m in cols["metadata"][0]] == \
+            [h["metadata"].get("par") for h in hits[0]]
+        # empty index → empty parallel arrays
+        e.create_index("empty")
+        cols = e.search("empty", X[:2], k=3, columnar=True,
+                        text_query="nothing", alpha=0.5)
+        assert cols["ids"] == [[], []]
+
     def test_decay_ranks_fresh_above_stale(self):
         e = mk()
         e.create_index("idx")

@@ -363,6 +363,49 @@ def test_batched_search_over_http(srv):
     assert all(int(h["id"][1:]) % 2 == 1 for hits in rb for h in hits)
 
 
+def test_columnar_batched_search_over_http(srv):
+    """columnar=True returns parallel ids/scores/distances arrays; the
+    base64-f32 query body parses to the same results as JSON floats
+    (the serving wire fast path behind BENCH http_columnar_qps)."""
+    import base64
+
+    rng = np.random.default_rng(22)
+    X = rng.normal(size=(32, 8)).astype(np.float32)
+    r = requests.post(srv.base + "/vector/indexes",
+                      json={"index_name": "http_col", "m": 8})
+    assert r.status_code == 200, r.text
+    r = requests.post(srv.base + "/vector/actions/add-batch", json={
+        "index_name": "http_col",
+        "vectors": [{"id": f"c{i}", "vector": X[i].tolist(),
+                     "metadata": {"par": i % 2}} for i in range(32)]})
+    assert r.status_code == 200, r.text
+    r = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_col", "k": 3, "columnar": True,
+        "query_vectors_b64":
+        base64.b64encode(X[:8].astype("<f4").tobytes()).decode(),
+        "query_shape": [8, 8]})
+    assert r.status_code == 200, r.text
+    o = r.json()
+    assert set(o) >= {"ids", "scores", "distances"}
+    assert len(o["ids"]) == 8 and len(o["ids"][0]) == 3
+    assert all(o["ids"][i][0] == f"c{i}" for i in range(8))
+    assert all(len(o["scores"][i]) == len(o["ids"][i]) ==
+               len(o["distances"][i]) for i in range(8))
+    # columnar survives the fused path (filter + metadata hydration)
+    r = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_col", "k": 3, "columnar": True, "hydrate": True,
+        "query_vectors": X[:4].tolist(), "filter": "par = 1"})
+    assert r.status_code == 200, r.text
+    o = r.json()
+    assert all(int(i[1:]) % 2 == 1 for row in o["ids"] for i in row)
+    assert all(m.get("par") == 1 for row in o["metadata"] for m in row)
+    # bad b64 shape → 400
+    r = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_col", "k": 3,
+        "query_vectors_b64": base64.b64encode(b"\x00" * 16).decode()})
+    assert r.status_code == 400
+
+
 def test_web_ui_pages_served(srv):
     """Dashboard + API explorer pages and the OpenAPI spec they consume
     (reference: internal/server/ui dashboard + embedded swagger)."""
