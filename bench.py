@@ -126,7 +126,10 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> dict:
 
 def main() -> None:
     t_start = time.time()
-    budget_s = float(os.environ.get("KEKTOR_BENCH_BUDGET_S", 900))
+    # wall budget for the extras: tunnel compile/dispatch variance can eat
+    # 800s before the first extra on a bad day (NOTES.md) — 2000s keeps the
+    # VERDICT-demanded extras (int8/hybrid/graph-restricted) from being cut
+    budget_s = float(os.environ.get("KEKTOR_BENCH_BUDGET_S", 2000))
     n = int(os.environ.get("KEKTOR_BENCH_N", 1_000_000))
     nq = int(os.environ.get("KEKTOR_BENCH_Q", 32_768))
     qbatch = int(os.environ.get("KEKTOR_BENCH_BATCH", 4096))
@@ -223,7 +226,7 @@ def main() -> None:
         ((got_d <= (gt_d10 * (1 + 1e-3))[:, None]) & (got >= 0)).mean())
 
     extras = {}
-    _last_mark = [time.time()]
+    _last_mark = [t_start]
 
     def mark(name: str) -> None:
         # per-section wall time to stderr (stdout stays one JSON line)

@@ -749,14 +749,28 @@ class Engine:
         if columnar:
             # round on the rectangular arrays (vectorized; ~1e-6 relative —
             # shortest-repr JSON floats shrink >2x) before the ragged split
-            d_l = d.astype(np.float64).round(5).tolist()
-            s_l = scores.astype(np.float64).round(6).tolist()
-        else:
-            d_l = d.tolist()
-            s_l = scores.tolist()
-        rows_l = rows_out.tolist()
-        get_meta = h.meta.get
-        if columnar:
+            d_r = d.astype(np.float64).round(5)
+            s_r = scores.astype(np.float64).round(6)
+            get_meta = h.meta.get
+            # vectorized common case: every one of the first k candidates
+            # maps to a live id — assemble via one fancy-index on the
+            # object-dtype id mirror, no Python inner loop
+            safe = np.clip(rows_out, 0, max(n_rows - 1, 0))
+            live = idx.ids.live_mask(max(n_rows, 1))
+            ok = (rows_out >= 0) & (rows_out < n_rows) & live[safe]
+            if rows_out.shape[1] >= k and bool(ok[:, :k].all()):
+                ext_arr = idx.ids.exts_array()
+                out_c = {"ids": ext_arr[safe[:, :k]].tolist(),
+                         "scores": s_r[:, :k].tolist(),
+                         "distances": d_r[:, :k].tolist()}
+                if include_metadata:
+                    out_c["metadata"] = [
+                        [get_meta(r) or {} for r in rb]
+                        for rb in rows_out[:, :k].tolist()]
+                return out_c
+            d_l = d_r.tolist()
+            s_l = s_r.tolist()
+            rows_l = rows_out.tolist()
             col_ids: list[list] = []
             col_s: list[list] = []
             col_d: list[list] = []
@@ -783,6 +797,10 @@ class Engine:
             if include_metadata:
                 out_c["metadata"] = col_m
             return out_c
+        d_l = d.tolist()
+        s_l = scores.tolist()
+        rows_l = rows_out.tolist()
+        get_meta = h.meta.get
         out = []
         for b in range(B):
             rb, db, sb = rows_l[b], d_l[b], s_l[b]

@@ -25,6 +25,12 @@ class IDMap:
         self.row_to_ext: list[str | None] = []
         self.free: list[int] = []
         self._mask = np.zeros(1024, bool)   # live-row bitset (roaring analog)
+        # object-dtype mirror of row_to_ext for vectorized fancy-index id
+        # lookup on the serving path; kept fresh incrementally by
+        # alloc/release/unmap, rebuilt on wholesale list replacement
+        # (detected via `is` against the retained source reference)
+        self._ext_cache: np.ndarray | None = None
+        self._ext_cache_list: list | None = None
 
     def __len__(self) -> int:
         return len(self.ext_to_row)
@@ -44,6 +50,30 @@ class IDMap:
                 [self._mask, np.zeros(n - self._mask.size, bool)])
         self._mask[row] = val
 
+    def _ext_cache_set(self, row: int, val: str | None) -> None:
+        c = self._ext_cache
+        if c is not None:
+            if row < c.size:
+                c[row] = val
+            else:
+                self._ext_cache = None      # grew past mirror: lazy rebuild
+
+    def exts_array(self) -> np.ndarray:
+        """Object-dtype [>= len(row_to_ext)] mirror for vectorized
+        `arr[rows]` id lookup (the serving-path replacement for a Python
+        loop over row_to_ext). O(rows) rebuild only after wholesale map
+        replacement; incremental updates keep it fresh otherwise."""
+        n = len(self.row_to_ext)
+        c = self._ext_cache
+        if c is None or self._ext_cache_list is not self.row_to_ext \
+                or c.size < n:
+            c = np.empty(max(n, 1024), object)
+            if n:
+                c[:n] = self.row_to_ext
+            self._ext_cache = c
+            self._ext_cache_list = self.row_to_ext
+        return c
+
     def live_mask(self, cap: int) -> np.ndarray:
         """Bool [cap] of mapped rows — the vectorized `universe` for filter
         evaluation (replaces building a Python set per request)."""
@@ -61,6 +91,7 @@ class IDMap:
             self.row_to_ext[row] = ext
         self.ext_to_row[ext] = row
         self._mask_set(row, True)
+        self._ext_cache_set(row, ext)
         return row
 
     def release(self, ext: str) -> int:
@@ -68,6 +99,7 @@ class IDMap:
         self.row_to_ext[row] = None
         self.free.append(row)
         self._mask_set(row, False)
+        self._ext_cache_set(row, None)
         return row
 
     def unmap(self, ext: str) -> int:
@@ -76,6 +108,7 @@ class IDMap:
         row = self.ext_to_row.pop(ext)
         self.row_to_ext[row] = None
         self._mask_set(row, False)
+        self._ext_cache_set(row, None)
         return row
 
     def rebuild_mask(self) -> None:
@@ -89,6 +122,7 @@ class IDMap:
             m[np.fromiter(self.ext_to_row.values(), np.int64,
                           len(self.ext_to_row))] = True
         self._mask = m
+        self._ext_cache = None
 
     def rows_of(self, exts: Sequence[str]) -> np.ndarray:
         return np.array([self.ext_to_row.get(e, -1) for e in exts], dtype=np.int32)

@@ -115,6 +115,13 @@ class TestIndexLifecycle:
         cols = e.search("empty", X[:2], k=3, columnar=True,
                         text_query="nothing", alpha=0.5)
         assert cols["ids"] == [[], []]
+        # holes: delete a top hit → fallback (non-vectorized) ragged path
+        # must agree with the dict path and never return the deleted id
+        e.delete("idx", "d0")
+        hits = e.search("idx", X[:4], k=3)
+        cols = e.search("idx", X[:4], k=3, columnar=True)
+        assert cols["ids"] == [[h["id"] for h in hh] for hh in hits]
+        assert all("d0" not in row for row in cols["ids"])
 
     def test_decay_ranks_fresh_above_stale(self):
         e = mk()
