@@ -328,6 +328,16 @@ def main() -> None:
             _ = eng.search("bench", queries[j * qbatch:(j + 1) * qbatch],
                            k=10, decay=False)
         extras["served_qps"] = round(4 * qbatch / (time.time() - t0), 1)
+        # columnar assembly (vectorized id-mirror fancy-index, no per-hit
+        # dicts) — the engine-level ceiling the columnar HTTP path feeds on
+        _ = eng.search("bench", queries[:qbatch], k=10, decay=False,
+                       columnar=True)
+        t0 = time.time()
+        for j in range(4):
+            _ = eng.search("bench", queries[j * qbatch:(j + 1) * qbatch],
+                           k=10, decay=False, columnar=True)
+        extras["served_columnar_qps"] = round(
+            4 * qbatch / (time.time() - t0), 1)
         eng.indexes.pop("bench")
         eng.close()
         mark("served")

@@ -53,10 +53,14 @@ class IDMap:
     def _ext_cache_set(self, row: int, val: str | None) -> None:
         c = self._ext_cache
         if c is not None:
-            if row < c.size:
-                c[row] = val
-            else:
-                self._ext_cache = None      # grew past mirror: lazy rebuild
+            if row >= c.size:               # geometric growth, like _mask_set
+                n = c.size
+                while n <= row:
+                    n *= 2
+                nc = np.empty(n, object)
+                nc[:c.size] = c
+                self._ext_cache = c = nc
+            c[row] = val
 
     def exts_array(self) -> np.ndarray:
         """Object-dtype [>= len(row_to_ext)] mirror for vectorized
@@ -67,7 +71,10 @@ class IDMap:
         c = self._ext_cache
         if c is None or self._ext_cache_list is not self.row_to_ext \
                 or c.size < n:
-            c = np.empty(max(n, 1024), object)
+            size = 1024
+            while size < n:
+                size *= 2               # headroom so appends stay in place
+            c = np.empty(size, object)
             if n:
                 c[:n] = self.row_to_ext
             self._ext_cache = c
