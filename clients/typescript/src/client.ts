@@ -212,11 +212,12 @@ export class KektorDBClient {
     indexName: string,
     queryVectors: number[][] | Float32Array,
     k = 10,
-    opts: SearchOptions & { dim?: number } = {},
+    opts: SearchOptions & { dim?: number; binaryResults?: boolean } = {},
   ): Promise<{
     ids: string[][];
-    scores: number[][];
-    distances: (number | null)[][];
+    scores: number[][] | Float32Array;
+    distances: (number | null)[][] | Float32Array;
+    shape?: [number, number];
     metadata?: Record<string, unknown>[][];
   }> {
     let flat: Float32Array;
@@ -238,11 +239,12 @@ export class KektorDBClient {
     for (let i = 0; i < bytes.length; i += CHUNK) {
       bin += String.fromCharCode(...bytes.subarray(i, i + CHUNK));
     }
-    return this.post("/vector/actions/search", {
+    const out = await this.post("/vector/actions/search", {
       index_name: indexName,
       query_vectors_b64: btoa(bin),
       query_shape: shape,
       columnar: true,
+      wire: opts.binaryResults ? "b64" : undefined,
       k,
       filter: opts.filter,
       text_query: opts.textQuery,
@@ -250,6 +252,23 @@ export class KektorDBClient {
       ef_search: opts.efSearch,
       hydrate: opts.hydrate,
     });
+    if (out.scores_b64) {
+      // binary wire: decode base64 raw little-endian f32 [B, k] buffers
+      // (server falls back to list columnar when results are ragged)
+      const dec = (b64: string): Float32Array => {
+        const s = atob(b64);
+        const u = new Uint8Array(s.length);
+        for (let i = 0; i < s.length; i++) u[i] = s.charCodeAt(i);
+        return new Float32Array(u.buffer);
+      };
+      return {
+        ids: out.ids,
+        scores: dec(out.scores_b64),
+        distances: dec(out.distances_b64),
+        shape: out.shape,
+      };
+    }
+    return out;
   }
 
   vsearchWithScores(

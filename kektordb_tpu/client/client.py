@@ -183,7 +183,8 @@ class KektorDBClient:
                       text_query: Optional[str] = None, alpha: float = 0.5,
                       ef_search: Optional[int] = None,
                       hydrate: bool = False, columnar: bool = False,
-                      binary_queries: bool = False):
+                      binary_queries: bool = False,
+                      binary_results: bool = False):
         """Batched search: [B, D] queries in ONE request → per-query hit
         lists (the serving-throughput API; single-query vsearch gets its
         batching from the server-side request coalescer instead).
@@ -191,10 +192,16 @@ class KektorDBClient:
         columnar=True returns {"ids", "scores", "distances"} parallel
         [B][<=k] arrays instead of per-hit dicts (~3x fewer wire bytes);
         binary_queries=True ships the queries as base64 raw f32 (skips
-        JSON float parsing server-side — needs numpy)."""
+        JSON float parsing server-side — needs numpy);
+        binary_results=True (implies columnar) asks for scores/distances
+        as base64 raw f32, decoded here into [B, k] numpy arrays — the
+        server falls back to list columnar when results are ragged."""
         body: dict[str, Any] = {
             "index_name": index_name, "k": k, "alpha": alpha,
             "hydrate": hydrate}
+        if binary_results:
+            columnar = True
+            body["wire"] = "b64"
         if binary_queries:
             import base64
 
@@ -215,6 +222,18 @@ class KektorDBClient:
         if ef_search:
             body["ef_search"] = ef_search
         out = self._post("/vector/actions/search", body)
+        if columnar and "scores_b64" in out:
+            import base64
+
+            import numpy as _np
+            shape = out["shape"]
+            out = {"ids": out["ids"],
+                   "scores": _np.frombuffer(
+                       base64.b64decode(out["scores_b64"]),
+                       "<f4").reshape(shape),
+                   "distances": _np.frombuffer(
+                       base64.b64decode(out["distances_b64"]),
+                       "<f4").reshape(shape)}
         return out if columnar else out["results_batch"]
 
     def vsearch_with_scores(self, index_name: str,

@@ -486,7 +486,10 @@ class Engine:
         With columnar=True, returns {"ids", "scores", "distances"[, "metadata"]}
         — parallel [B][<=k] lists — skipping per-hit dict assembly (the
         serving-path host cost at large B) and letting the HTTP layer emit
-        compact array JSON.
+        compact array JSON. columnar="np" additionally keeps scores and
+        distances as rectangular [B, k] float32 ndarrays when every hit
+        resolves (the binary-wire fast path); ragged or metadata-hydrated
+        results degrade to the list form.
         """
         h = self._handle(index)
         q = np.atleast_2d(np.asarray(query, np.float32))
@@ -747,10 +750,6 @@ class Engine:
         row_to_ext = idx.ids.row_to_ext
         n_rows = len(row_to_ext)
         if columnar:
-            # round on the rectangular arrays (vectorized; ~1e-6 relative —
-            # shortest-repr JSON floats shrink >2x) before the ragged split
-            d_r = d.astype(np.float64).round(5)
-            s_r = scores.astype(np.float64).round(6)
             get_meta = h.meta.get
             # vectorized common case: every one of the first k candidates
             # maps to a live id — assemble via one fancy-index on the
@@ -758,7 +757,23 @@ class Engine:
             safe = np.clip(rows_out, 0, max(n_rows - 1, 0))
             live = idx.ids.live_mask(max(n_rows, 1))
             ok = (rows_out >= 0) & (rows_out < n_rows) & live[safe]
-            if rows_out.shape[1] >= k and bool(ok[:, :k].all()):
+            rect = rows_out.shape[1] >= k and bool(ok[:, :k].all())
+            if rect and columnar == "np" and not include_metadata:
+                # binary-wire mode: hand the rectangular [B, k] arrays to
+                # the caller untouched (the HTTP layer base64s the raw f32
+                # bytes — json.dumps of 2*B*k floats was the dominant
+                # serving-path host cost at B=2048)
+                ext_arr = idx.ids.exts_array()
+                return {"ids": ext_arr[safe[:, :k]].tolist(),
+                        "scores": np.ascontiguousarray(
+                            scores[:, :k], np.float32),
+                        "distances": np.ascontiguousarray(
+                            d[:, :k], np.float32)}
+            # round on the rectangular arrays (vectorized; ~1e-6 relative —
+            # shortest-repr JSON floats shrink >2x) before the ragged split
+            d_r = d.astype(np.float64).round(5)
+            s_r = scores.astype(np.float64).round(6)
+            if rect:
                 ext_arr = idx.ids.exts_array()
                 out_c = {"ids": ext_arr[safe[:, :k]].tolist(),
                          "scores": s_r[:, :k].tolist(),

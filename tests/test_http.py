@@ -391,6 +391,29 @@ def test_columnar_batched_search_over_http(srv):
     assert all(o["ids"][i][0] == f"c{i}" for i in range(8))
     assert all(len(o["scores"][i]) == len(o["ids"][i]) ==
                len(o["distances"][i]) for i in range(8))
+    # binary wire: scores/distances come back as base64 raw f32 matching
+    # the list-columnar values; ragged/fused requests fall back to lists
+    r2 = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_col", "k": 3, "columnar": True, "wire": "b64",
+        "query_vectors": X[:8].tolist()})
+    assert r2.status_code == 200, r2.text
+    o2 = r2.json()
+    assert o2["shape"] == [8, 3] and o2["ids"] == o["ids"]
+    sc = np.frombuffer(base64.b64decode(o2["scores_b64"]),
+                       "<f4").reshape(8, 3)
+    di = np.frombuffer(base64.b64decode(o2["distances_b64"]),
+                       "<f4").reshape(8, 3)
+    assert np.allclose(sc, np.asarray(o["scores"]), atol=1e-4)
+    assert np.allclose(di, np.asarray(o["distances"]), atol=1e-4)
+    r2 = requests.post(srv.base + "/vector/actions/search", json={
+        "index_name": "http_col", "k": 3, "columnar": True, "wire": "b64",
+        "query_vectors": X[:4].tolist(), "filter": "par = 1",
+        "hydrate": True})
+    assert r2.status_code == 200, r2.text
+    o2 = r2.json()
+    assert "scores_b64" not in o2     # metadata → list-columnar fallback
+    assert all(int(i[1:]) % 2 == 1 for row in o2["ids"] for i in row)
+    assert all(m.get("par") == 1 for row in o2["metadata"] for m in row)
     # columnar survives the fused path (filter + metadata hydration)
     r = requests.post(srv.base + "/vector/actions/search", json={
         "index_name": "http_col", "k": 3, "columnar": True, "hydrate": True,
