@@ -447,3 +447,101 @@ def test_web_ui_pages_served(srv):
     assert spec["openapi"].startswith("3.")
     assert "/vector/actions/search" in spec["paths"]
     assert len(spec["paths"]) >= 50
+
+
+def test_concurrent_mixed_clients_over_http(srv):
+    """Multi-client mixed load through real sockets: batched/columnar/b64
+    searches racing adds, deletes, and metadata updates. The server must
+    never 5xx and every search response must parse (reference serves
+    readers during writes, hnsw_index.go:71; engine-level analog in
+    tests/test_concurrency.py)."""
+    import base64
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(128, 8)).astype(np.float32)
+    r = requests.post(srv.base + "/vector/indexes",
+                      json={"index_name": "http_mix", "m": 8})
+    assert r.status_code == 200, r.text
+    r = requests.post(srv.base + "/vector/actions/add-batch", json={
+        "index_name": "http_mix",
+        "vectors": [{"id": f"m{i}", "vector": X[i].tolist(),
+                     "metadata": {"grp": i % 4}} for i in range(128)]})
+    assert r.status_code == 200, r.text
+
+    errors: list[str] = []
+    counts = {"search": 0, "write": 0}
+    lock = threading.Lock()
+
+    def searcher(seed: int) -> None:
+        s = requests.Session()
+        rr = np.random.default_rng(seed)
+        for i in range(12):
+            q = X[rr.integers(0, 128, size=4)]
+            mode = i % 3
+            body = {"index_name": "http_mix", "k": 3}
+            if mode == 0:
+                body["query_vectors"] = q.tolist()
+            else:
+                body["query_vectors_b64"] = base64.b64encode(
+                    q.astype("<f4").tobytes()).decode()
+                body["query_shape"] = [4, 8]
+                body["columnar"] = True
+                if mode == 2:
+                    body["wire"] = "b64"
+            if seed % 2:
+                body["filter"] = "grp = 1"
+            resp = s.post(srv.base + "/vector/actions/search", json=body)
+            if resp.status_code != 200:
+                errors.append(f"search {resp.status_code}: "
+                              f"{resp.text[:120]}")
+                continue
+            o = resp.json()
+            ok = ("results_batch" in o) or ("ids" in o)
+            if not ok:
+                errors.append(f"unparseable search response: "
+                              f"{str(o)[:120]}")
+            with lock:
+                counts["search"] += 1
+
+    def writer(seed: int) -> None:
+        s = requests.Session()
+        rr = np.random.default_rng(100 + seed)
+        for i in range(12):
+            op = i % 3
+            if op == 0:
+                resp = s.post(
+                    srv.base + "/vector/actions/add",
+                    json={"index_name": "http_mix",
+                          "id": f"mw{seed}-{i}",
+                          "vector": rr.normal(size=8).astype(
+                              float).tolist(),
+                          "metadata": {"grp": int(rr.integers(0, 4))}})
+            elif op == 1:
+                resp = s.post(
+                    srv.base + "/vector/actions/delete_vector",
+                    json={"index_name": "http_mix",
+                          "id": f"m{int(rr.integers(0, 128))}"})
+            else:
+                resp = s.post(
+                    srv.base + "/graph/actions/set-node-properties",
+                    json={"index_name": "http_mix",
+                          "node_id": f"m{int(rr.integers(0, 128))}",
+                          "properties":
+                          {"grp": int(rr.integers(0, 4))}})
+            if resp.status_code >= 500:
+                errors.append(f"write {resp.status_code}: "
+                              f"{resp.text[:120]}")
+            elif resp.status_code == 200:
+                with lock:
+                    counts["write"] += 1
+
+    threads = [threading.Thread(target=searcher, args=(s,))
+               for s in range(4)]
+    threads += [threading.Thread(target=writer, args=(s,))
+                for s in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors[:5]
+    assert counts["search"] >= 40 and counts["write"] >= 12, counts
