@@ -282,6 +282,31 @@ class TestMCP:
                                 "params": {"name": "nope"}})
         assert "error" in resp
 
+    def test_every_tool_dispatches_cleanly(self):
+        """Anti-stub sweep: every registered tool called with empty args
+        must either return a JSON-serializable result or raise a
+        deliberate validation error (KeyError/ValueError/TypeError) —
+        never a stub-level crash (AttributeError, NameError,
+        UnboundLocalError, IndexError), and every tool must publish a
+        description + input schema (reference registers 57 real tools,
+        internal/mcp/toolnames.go)."""
+        e = mk_engine()
+        svc = MCPService(e, embedder=HashingEmbedder())
+        tools = svc.list_tools()
+        assert len(tools) >= 57
+        crashed = {}
+        for t in tools:
+            assert t.get("description"), f"{t['name']}: no description"
+            assert t.get("inputSchema", {}).get("type") == "object", \
+                f"{t['name']}: no input schema"
+            try:
+                json.dumps(svc.call(t["name"], {}), default=str)
+            except (KeyError, ValueError, TypeError):
+                pass                       # deliberate arg validation
+            except Exception as exc:       # noqa: BLE001
+                crashed[t["name"]] = f"{type(exc).__name__}: {exc}"
+        assert not crashed, crashed
+
     def test_session_scoped_recall(self):
         e = mk_engine()
         svc = MCPService(e, embedder=HashingEmbedder())
