@@ -111,12 +111,12 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> dict:
                     o = await r.json()
                     assert r.status == 200, o
                     return o
-            await post(plain[0])                     # warm compile
-            t0 = time.time()
+            await post(plain[0]); await post(plain[0])   # warm compile +
+            t0 = time.time()                             # dispatch tail
             outs = await asyncio.gather(*[post(b) for b in plain])
             out["http_qps"] = n_req * B / (time.time() - t0)
             assert all(len(o["results_batch"]) == B for o in outs)
-            await post(col[0])
+            await post(col[0]); await post(col[0])
             t0 = time.time()
             outs = await asyncio.gather(*[post(b) for b in col])
             out["http_columnar_qps"] = n2 * B2 / (time.time() - t0)
@@ -125,7 +125,7 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> dict:
             # binary wire: scores/distances as base64 raw f32 — skips JSON
             # float serialize (server) and parse (client) entirely
             b64req = [dict(b, wire="b64") for b in col]
-            await post(b64req[0])
+            await post(b64req[0]); await post(b64req[0])
             t0 = time.time()
             outs = await asyncio.gather(*[post(b) for b in b64req])
             out["http_b64_qps"] = n2 * B2 / (time.time() - t0)
@@ -226,7 +226,7 @@ def main() -> None:
     t0 = time.time()
     for qd in qdevs[:4]:
         np.asarray(one_batch(qd)[0][..., :1])
-    sync_qps = (4 * qbatch) / (time.time() - t0)
+    sync_qps = (len(qdevs[:4]) * qbatch) / (time.time() - t0)
 
     got_d = np.asarray(outs[0][0])[:sample, :10]
     got = np.asarray(outs[0][1])[:sample, :10]
@@ -271,7 +271,8 @@ def main() -> None:
         t0 = time.time()
         outs_f = [fast_batch(qd) for qd in qdevs[:8]]
         jax.block_until_ready(outs_f)
-        extras["scan_fast_qps"] = round(8 * qbatch / (time.time() - t0), 1)
+        extras["scan_fast_qps"] = round(
+            len(outs_f) * qbatch / (time.time() - t0), 1)
         gf = np.asarray(outs_f[0][1])[:sample, :10]
         extras["scan_fast_recall_at_10"] = round(float(np.mean([
             len(set(map(int, gf[b])) & set(map(int, gt_ids[b]))) / 10
@@ -289,7 +290,8 @@ def main() -> None:
         t0 = time.time()
         outs_e = [exact_batch(qd) for qd in qdevs[:8]]
         jax.block_until_ready(outs_e)
-        extras["scan_exact_qps"] = round(8 * qbatch / (time.time() - t0), 1)
+        extras["scan_exact_qps"] = round(
+            len(outs_e) * qbatch / (time.time() - t0), 1)
         ge = np.asarray(outs_e[0][1])[:sample, :10]
         extras["scan_exact_recall_at_10"] = round(float(np.mean([
             len(set(map(int, ge[b])) & set(map(int, gt_ids[b]))) / 10
@@ -325,7 +327,7 @@ def main() -> None:
             fo = [filt_batch(qd) for qd in qdevs[:8]]
             jax.block_until_ready(fo)
             extras[f"filtered_{sel}pct_qps"] = round(
-                8 * qbatch / (time.time() - t0), 1)
+                len(fo) * qbatch / (time.time() - t0), 1)
             i_f = np.asarray(fo[0][1])
             extras[f"filtered_{sel}pct_allowed_only"] = bool(
                 ((i_f % frac == 0) | (i_f < 0)).all())
@@ -340,22 +342,32 @@ def main() -> None:
         eng = Engine(EngineConfig(start_background=False)).open()
         eng.create_index("bench", m=16)
         eng.indexes["bench"].index = idx
-        _ = eng.search("bench", queries[:qbatch], k=10, decay=False)
+        # wrapping window keeps every batch exactly [qbatch, d] — a short
+        # or empty tail slice would recompile inside the timed loop
+        def qwin(j):
+            return queries[(j * qbatch) % max(len(queries) - qbatch, 1):
+                           ][:qbatch]
+
+        # 3 warm calls: one warm call is not enough on this tunnel — the
+        # first post-warm batch intermittently carries a ~1 s dispatch tail
+        # (measured 1150 ms then 73 ms steady, NOTES.md)
+        for _w in range(3):
+            _ = eng.search("bench", qwin(0), k=10, decay=False)
         t0 = time.time()
-        for j in range(4):
-            _ = eng.search("bench", queries[j * qbatch:(j + 1) * qbatch],
-                           k=10, decay=False)
-        extras["served_qps"] = round(4 * qbatch / (time.time() - t0), 1)
+        for j in range(6):
+            _ = eng.search("bench", qwin(j), k=10, decay=False)
+        extras["served_qps"] = round(6 * qbatch / (time.time() - t0), 1)
         # columnar assembly (vectorized id-mirror fancy-index, no per-hit
         # dicts) — the engine-level ceiling the columnar HTTP path feeds on
-        _ = eng.search("bench", queries[:qbatch], k=10, decay=False,
-                       columnar=True)
+        for _w in range(3):
+            _ = eng.search("bench", qwin(0), k=10, decay=False,
+                           columnar=True)
         t0 = time.time()
-        for j in range(4):
-            _ = eng.search("bench", queries[j * qbatch:(j + 1) * qbatch],
-                           k=10, decay=False, columnar=True)
+        for j in range(6):
+            _ = eng.search("bench", qwin(j), k=10, decay=False,
+                           columnar=True)
         extras["served_columnar_qps"] = round(
-            4 * qbatch / (time.time() - t0), 1)
+            6 * qbatch / (time.time() - t0), 1)
         eng.indexes.pop("bench")
         eng.close()
         mark("served")

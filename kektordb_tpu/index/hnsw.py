@@ -685,18 +685,11 @@ class HNSWIndex:
             mode="exact" if self.config.scan_exact else "approx",
             has_allow=allow is not None,
             fast=self.config.scan_precision == "fast")
-        # overlap the two result transfers: start both host copies async,
-        # then collect — sequential np.asarray/device_get fetches would pay
-        # one full tunnel round-trip PER ARRAY (measured 85% of served
-        # batch time, scripts/profile_served.py)
+        # one device_get for both results: it starts copy_to_host_async on
+        # each leaf before collecting, so the two transfers overlap in one
+        # round trip (two bare np.asarray fetches would serialize)
         import jax
-        d2, r2 = d[:B, :k], rows[:B, :k]
-        for a in (d2, r2):
-            try:
-                a.copy_to_host_async()
-            except Exception:       # noqa: BLE001 - backend-optional fast path
-                break
-        return jax.device_get((d2, r2))
+        return jax.device_get((d[:B, :k], rows[:B, :k]))
 
     def compress_serving(self, dtype: str = "bfloat16",
                          _pretrained: bool = False) -> None:
