@@ -554,12 +554,16 @@ class Engine:
                         gmask[r] = True
             allow = gmask if allow is None else (allow & gmask)
 
-        text_scores: dict[int, float] = {}
+        text_rows = np.empty(0, np.int64)
+        text_vals = np.empty(0, np.float64)
         if text_query:
-            text_scores = h.meta.text.search(text_query)
-            if allow is not None:
-                text_scores = {r: s for r, s in text_scores.items()
-                               if r < cap and allow[r]}
+            text_rows, text_vals = h.meta.text.search_arrays(text_query)
+            if text_rows.size:
+                m = text_rows < cap
+                if allow is not None:
+                    m[m] = allow[text_rows[m]]
+                if not m.all():
+                    text_rows, text_vals = text_rows[m], text_vals[m]
 
         text_only = text_query and _is_zero(q)
         if not text_only and len(idx) > 0:
@@ -569,7 +573,7 @@ class Engine:
             d, rows_out = idx.search(q, fetch, ef=ef, allow_rows=allow)
             d = np.asarray(d, np.float32)
             rows_out = np.asarray(rows_out, np.int64)
-            if not text_scores and not (decay and h.memory.enabled):
+            if text_rows.size == 0 and not (decay and h.memory.enabled):
                 # vectorized fast path: no fusion/decay re-ranking needed —
                 # normalize scores as one numpy op and assemble hits in a
                 # single pass (the per-hit dict pipeline below costs ~30us
@@ -581,9 +585,9 @@ class Engine:
             d = np.zeros((B, 0), np.float32)
             rows_out = np.zeros((B, 0), np.int64)
         return self._assemble_fused(
-            h, idx, d, rows_out, B, k, text_scores=text_scores,
-            alpha=alpha, decay=decay, include_metadata=include_metadata,
-            columnar=columnar)
+            h, idx, d, rows_out, B, k, text_rows=text_rows,
+            text_vals=text_vals, alpha=alpha, decay=decay,
+            include_metadata=include_metadata, columnar=columnar)
 
     # cap on text-branch candidates folded into the vectorized fusion
     # (BM25 can match thousands of rows; beyond the top few hundred they
@@ -591,7 +595,8 @@ class Engine:
     TEXT_CAND_CAP = 512
 
     def _assemble_fused(self, h, idx, d: np.ndarray, rows_out: np.ndarray,
-                        B: int, k: int, *, text_scores: dict[int, float],
+                        B: int, k: int, *, text_rows: np.ndarray,
+                        text_vals: np.ndarray,
                         alpha: float, decay: bool, include_metadata: bool,
                         columnar: bool = False):
         """Vectorized fusion + decay assembly (ops.go:1071-1186 semantics —
@@ -616,12 +621,14 @@ class Engine:
                                1.0).astype(np.float64)
             vec_sim = np.where(valid, vec_sim, -np.inf)
 
-        if text_scores:
-            items = sorted(text_scores.items(), key=lambda kv: -kv[1])
+        if text_rows.size:
             cap_t = max(self.TEXT_CAND_CAP, 4 * k)
-            items = items[:cap_t]
-            tr = np.array([r for r, _ in items], np.int64)
-            ts = np.array([s for _, s in items], np.float64)
+            if text_rows.size > cap_t:
+                sel = np.argpartition(text_vals, text_vals.size - cap_t
+                                      )[-cap_t:]
+                tr, ts = text_rows[sel], text_vals[sel]
+            else:
+                tr, ts = text_rows, text_vals
             t_lo, t_hi = ts.min(), ts.max()
             tsn = np.ones_like(ts) if t_hi <= t_lo \
                 else (ts - t_lo) / (t_hi - t_lo)

@@ -5,9 +5,14 @@ map[field]map[token]{DocID,TF} + TextIndexStats{TotalDocs, AvgFieldLength,
 DocLengths} (core.go:908-951), scoring k1=1.2 b=0.75 (core.go:1958-1961),
 IDF log(1+(N-df+0.5)/(df+0.5)) (core.go:2044-2068).
 
-Postings are kept host-side as dicts (mutation-heavy), scoring is vectorized
-numpy over the union of candidate docs; a Pallas CSR segment-reduce is the
-planned optimization once corpora get large (SURVEY §7.2 kernel 5).
+Postings are kept host-side as dicts (the mutable source of truth —
+mutation-heavy), while scoring runs on a derived CSR snapshot per field
+(token → segment of parallel row/tf arrays + a dense doc-length column),
+rebuilt lazily after writes. Each query term scores its whole posting
+segment as one numpy expression and segments aggregate via bincount —
+no per-posting Python loops on the query path (SURVEY §7.1 vectorized
+filter/score rule; the former dict-walk scorer was the hybrid-QPS
+bottleneck).
 """
 
 from __future__ import annotations
@@ -15,10 +20,40 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+import numpy as np
+
 from .analyzer import analyze
 
 K1 = 1.2
 B = 0.75
+
+
+class _FieldCSR:
+    """Immutable scoring snapshot of one field's postings."""
+
+    __slots__ = ("seg", "rows", "tfs", "doc_len", "n_docs", "avg_len")
+
+    def __init__(self, post: dict[str, dict[int, int]],
+                 lens: dict[int, int]):
+        self.n_docs = len(lens)
+        self.avg_len = (sum(lens.values()) / self.n_docs) if self.n_docs \
+            else 0.0
+        nnz = sum(len(p) for p in post.values())
+        self.rows = np.empty(nnz, np.int64)
+        self.tfs = np.empty(nnz, np.float64)
+        self.seg: dict[str, tuple[int, int]] = {}
+        at = 0
+        for t, plist in post.items():
+            n = len(plist)
+            self.rows[at:at + n] = list(plist.keys())
+            self.tfs[at:at + n] = list(plist.values())
+            self.seg[t] = (at, at + n)
+            at += n
+        max_row = int(self.rows.max()) if nnz else -1
+        self.doc_len = np.zeros(max_row + 1, np.float64)
+        for r, dl in lens.items():
+            if r <= max_row:
+                self.doc_len[r] = dl
 
 
 class BM25Index:
@@ -28,6 +63,11 @@ class BM25Index:
         self.postings: dict[str, dict[str, dict[int, int]]] = {}
         # field → {row: doc_len}
         self.doc_lengths: dict[str, dict[int, int]] = {}
+        # field → derived CSR snapshot (None = stale; rebuilt on demand).
+        # Concurrent readers may race to rebuild — both build, last
+        # atomic assignment wins (benign; engine RW lock serializes
+        # writes against reads).
+        self._csr: dict[str, _FieldCSR | None] = {}
 
     def fields(self) -> list[str]:
         return list(self.postings.keys())
@@ -43,6 +83,7 @@ class BM25Index:
         for t, c in tf.items():
             post.setdefault(t, {})[row] = c
         self.doc_lengths.setdefault(field, {})[row] = len(tokens)
+        self._csr[field] = None
 
     def remove(self, row: int, field: str | None = None) -> None:
         fields = [field] if field else list(self.postings)
@@ -53,28 +94,63 @@ class BM25Index:
                 if not post[t]:
                     del post[t]
             self.doc_lengths.get(f, {}).pop(row, None)
+            self._csr[f] = None
+
+    def _snapshot(self, field: str) -> _FieldCSR | None:
+        csr = self._csr.get(field)
+        if csr is None:
+            lens = self.doc_lengths.get(field, {})
+            if not lens:
+                return None
+            csr = _FieldCSR(self.postings.get(field, {}), lens)
+            self._csr[field] = csr
+        return csr
+
+    def search_arrays(self, query: str, fields: list[str] | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Union-of-postings BM25 (FindIDsByTextSearch, core.go:1965-2041),
+        fully vectorized: each query term's posting segment scores as one
+        numpy expression; segments aggregate with unique+bincount.
+        Returns (rows ascending int64, scores float64)."""
+        tokens = analyze(query, self.language)
+        row_parts: list[np.ndarray] = []
+        val_parts: list[np.ndarray] = []
+        for f in fields or self.fields():
+            csr = self._snapshot(f)
+            if csr is None:
+                continue
+            for t in tokens:
+                seg = csr.seg.get(t)
+                if seg is None:
+                    continue
+                s, e = seg
+                df = e - s
+                idf = math.log(
+                    1.0 + (csr.n_docs - df + 0.5) / (df + 0.5))
+                rows = csr.rows[s:e]
+                tfs = csr.tfs[s:e]
+                dl = csr.doc_len[rows]
+                denom = tfs + K1 * (1 - B + B * dl / csr.avg_len)
+                row_parts.append(rows)
+                val_parts.append(idf * tfs * (K1 + 1) / denom)
+        if not row_parts:
+            return (np.empty(0, np.int64), np.empty(0, np.float64))
+        all_rows = np.concatenate(row_parts)
+        all_vals = np.concatenate(val_parts)
+        if len(row_parts) == 1:
+            return all_rows, all_vals  # single segment: rows already unique
+        span = int(all_rows.max()) + 1
+        if all_rows.size * 8 >= span:
+            # dense accumulate: O(nnz + span) beats the unique-sort
+            # O(nnz log nnz) once postings cover >~1/8 of the row space
+            dense = np.bincount(all_rows, weights=all_vals, minlength=span)
+            uniq = np.nonzero(dense)[0]
+            return uniq, dense[uniq]
+        uniq, inv = np.unique(all_rows, return_inverse=True)
+        return uniq, np.bincount(inv, weights=all_vals)
 
     def search(self, query: str, fields: list[str] | None = None
                ) -> dict[int, float]:
-        """Union-of-postings BM25 (FindIDsByTextSearch, core.go:1965-2041).
-        Returns {row: score} (unsorted; caller fuses/sorts)."""
-        tokens = analyze(query, self.language)
-        scores: dict[int, float] = defaultdict(float)
-        for f in fields or self.fields():
-            lens = self.doc_lengths.get(f, {})
-            n_docs = len(lens)
-            if not n_docs:
-                continue
-            avg_len = sum(lens.values()) / n_docs
-            post = self.postings.get(f, {})
-            for t in tokens:
-                plist = post.get(t)
-                if not plist:
-                    continue
-                df = len(plist)
-                idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                for row, tf in plist.items():
-                    dl = lens.get(row, 0)
-                    denom = tf + K1 * (1 - B + B * dl / avg_len)
-                    scores[row] += idf * tf * (K1 + 1) / denom
-        return dict(scores)
+        """Dict view of search_arrays (unsorted; caller fuses/sorts)."""
+        rows, vals = self.search_arrays(query, fields)
+        return dict(zip(rows.tolist(), vals.tolist()))

@@ -62,6 +62,56 @@ class TestBM25:
         assert set(idx.search("kernels")) == {1, 2}
         assert set(idx.search("kernels", fields=["title"])) == {1}
 
+    def test_vectorized_matches_reference_scorer(self):
+        """CSR search_arrays == straightforward per-posting BM25 walk
+        (core.go:1965-2041 semantics), across mutations that invalidate
+        the cached snapshot."""
+        import math
+        import random
+        import numpy as np
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(40)]
+        idx = BM25Index()
+        docs = {}
+        for row in range(120):
+            words = rng.choices(vocab, k=rng.randint(3, 12))
+            docs[row] = " ".join(words)
+            idx.add(row, "body", docs[row])
+        idx.search_arrays(vocab[0])          # build the CSR snapshot
+        for row in (5, 50, 99):              # mutate → snapshot stale
+            idx.remove(row)
+            del docs[row]
+        idx.add(200, "body", "w1 w1 w1 w2")
+        docs[200] = "w1 w1 w1 w2"
+
+        def reference(query):
+            from kektordb_tpu.text.analyzer import analyze
+            toks = analyze(query, "english")
+            lens = idx.doc_lengths["body"]
+            n, avg = len(lens), sum(lens.values()) / len(lens)
+            out = {}
+            for t in toks:
+                plist = idx.postings["body"].get(t, {})
+                if not plist:
+                    continue
+                df = len(plist)
+                w = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                for r, tf in plist.items():
+                    dl = lens[r]
+                    out[r] = out.get(r, 0.0) + \
+                        w * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+            return out
+
+        for q in ("w1 w2", "w3", "w1 w1 w5 w9", "missingtoken"):
+            rows, vals = idx.search_arrays(q)
+            want = reference(q)
+            assert rows.tolist() == sorted(want)
+            got = dict(zip(rows.tolist(), vals.tolist()))
+            for r, s in want.items():
+                assert abs(got[r] - s) < 1e-9 * max(1.0, abs(s))
+            assert np.all(np.diff(rows) > 0)
+
 
 class TestRESP:
     def test_roundtrip_binary_safe(self):
