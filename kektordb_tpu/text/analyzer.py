@@ -40,6 +40,13 @@ _LANGS = {
     "italian": (STOPWORDS_IT, stem_italian),
 }
 
+# token→stem memo per language: corpora reuse tokens heavily, and the
+# pure-Python Snowball stemmers dominate ingest cost without it.
+# Bounded by churn-on-overflow so adversarial vocabularies can't grow
+# it without limit.
+_STEM_CACHE_MAX = 1 << 18
+_stem_cache: dict[str, dict[str, str]] = {lang: {} for lang in _LANGS}
+
 
 def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
@@ -47,5 +54,18 @@ def tokenize(text: str) -> list[str]:
 
 def analyze(text: str, language: str = "english") -> list[str]:
     """tokenize → drop stopwords → stem (analyzer.go:21-110)."""
-    stop, stem = _LANGS.get(language, _LANGS["english"])
-    return [stem(t) for t in tokenize(text) if t not in stop and len(t) > 1]
+    if language not in _LANGS:
+        language = "english"
+    stop, stem = _LANGS[language]
+    cache = _stem_cache[language]
+    out = []
+    for t in tokenize(text):
+        if t in stop or len(t) <= 1:
+            continue
+        s = cache.get(t)
+        if s is None:
+            if len(cache) >= _STEM_CACHE_MAX:
+                cache.clear()
+            s = cache[t] = stem(t)
+        out.append(s)
+    return out
