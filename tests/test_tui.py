@@ -18,23 +18,30 @@ import pytest
 from tests.test_http import ServerFixture
 
 
-def _read_until(fd, pattern: str, timeout: float = 20.0) -> str:
-    buf = b""
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        r, _, _ = select.select([fd], [], [], 0.5)
-        if fd in r:
-            try:
-                chunk = os.read(fd, 65536)
-            except OSError:
-                break
-            if not chunk:
-                break
-            buf += chunk
-            text = _strip_ansi(buf.decode(errors="replace"))
-            if re.search(pattern, text):
+class _PtyReader:
+    """Cumulative pty transcript: curses emits screen DIFFS, so a pattern
+    may arrive in the same chunk as an earlier match — sequential fresh
+    reads would then block forever on output that already went by."""
+
+    def __init__(self, fd):
+        self.fd = fd
+        self.buf = b""
+
+    def until(self, pattern: str, timeout: float = 20.0) -> str:
+        deadline = time.time() + timeout
+        while True:
+            text = _strip_ansi(self.buf.decode(errors="replace"))
+            if re.search(pattern, text) or time.time() >= deadline:
                 return text
-    return _strip_ansi(buf.decode(errors="replace"))
+            r, _, _ = select.select([self.fd], [], [], 0.5)
+            if self.fd in r:
+                try:
+                    chunk = os.read(self.fd, 65536)
+                except OSError:
+                    return text
+                if not chunk:
+                    return text
+                self.buf += chunk
 
 
 def _strip_ansi(s: str) -> str:
@@ -65,17 +72,18 @@ def test_tui_end_to_end(tmp_path):
             stdin=follower, stdout=follower, stderr=follower,
             env=env, cwd="/root/repo", close_fds=True)
         os.close(follower)
+        rd = _PtyReader(leader)
         try:
             # dashboard renders index stats
-            text = _read_until(leader, r"tuidx")
+            text = rd.until(r"tuidx")
             assert "KektorDB-TPU" in text
             assert "tuidx" in text
-            text = _read_until(leader, r"connected")
+            text = rd.until(r"connected")
             assert "connected" in text
 
             # settings tab shows the connection info
             os.write(leader, b"5")
-            text = _read_until(leader, r"base url")
+            text = rd.until(r"base url")
             assert srv.base in text
 
             # search flow: '/' enters typing mode, Enter runs the search
@@ -84,7 +92,7 @@ def test_tui_end_to_end(tmp_path):
             os.write(leader, b"sky blue")
             time.sleep(0.3)
             os.write(leader, b"\r")
-            text = _read_until(leader, r"score=")
+            text = rd.until(r"score=")
             assert "t0" in text          # top hit is the sky sentence
 
             # quit cleanly
