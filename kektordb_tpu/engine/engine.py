@@ -641,8 +641,14 @@ class Engine:
             tmatch = valid & (tr[pos] == rows_out)
             text_of_vec = np.where(tmatch, tsn[pos], 0.0)
             # appended text-only candidates; mask out rows already in the
-            # vec candidate set of the same query
-            dup = (rows_out[:, :, None] == tr[None, None, :]).any(axis=1)
+            # vec candidate set of the same query. tmatch already names
+            # every (query, vec-candidate) pair whose row is in tr, so a
+            # scatter marks dups in O(B*F) — the naive
+            # rows_out[:,:,None]==tr broadcast is O(B*F*T) (~200MB of
+            # bools at B=4096).
+            dup = np.zeros((B, T), bool)
+            bidx, fidx = np.nonzero(tmatch)
+            dup[bidx, pos[bidx, fidx]] = True
             R_all = np.concatenate(
                 [rows_out, np.broadcast_to(tr, (B, T))], axis=1)
             vec_all = np.concatenate(
