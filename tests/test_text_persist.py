@@ -62,6 +62,23 @@ class TestBM25:
         assert set(idx.search("kernels")) == {1, 2}
         assert set(idx.search("kernels", fields=["title"])) == {1}
 
+    def test_delta_fold_threshold(self, monkeypatch):
+        """Writes past the fold threshold collapse the delta into a fresh
+        snapshot; scoring stays correct on both sides of the fold."""
+        from kektordb_tpu.text import bm25 as bm25mod
+        monkeypatch.setattr(bm25mod, "_FOLD_MIN", 4)
+        idx = BM25Index()
+        for r in range(8):
+            idx.add(r, "body", f"alpha w{r}")
+        idx.search_arrays("alpha")              # snapshot
+        for r in range(8, 14):                  # 6 writes > max(4, 14//8)
+            idx.add(r, "body", f"alpha w{r}")
+        assert idx._csr.get("body") is None     # folded (stale)
+        rows, _ = idx.search_arrays("alpha")    # rebuilt
+        assert rows.tolist() == list(range(14))
+        assert idx._delta.get("body") is None or \
+            not idx._delta["body"].rows
+
     def test_vectorized_matches_reference_scorer(self):
         """CSR search_arrays == straightforward per-posting BM25 walk
         (core.go:1965-2041 semantics), across mutations that invalidate
