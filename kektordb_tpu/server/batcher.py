@@ -6,8 +6,12 @@ reference gets QPS only from HTTP concurrency across Go threads; here
 concurrent plain vector searches against the same index coalesce into one
 lockstep beam program.
 
-Only homogeneous requests batch together (same index/k/ef, no filter, no
-text query, no graph restriction) — anything else falls through to the
+Requests batch together whenever their full kwarg tuple matches —
+index/k/ef plus filter string, text query, alpha, and graph restriction
+(Engine.search applies one kwarg set batch-wide, so equal-kwarg requests
+are exactly coalescible; a shared filter mask / BM25 pass / graph BFS is
+then computed once per device batch instead of once per request). Only
+per-request post-processing (relation hydration) falls through to the
 direct path.
 """
 
@@ -40,9 +44,16 @@ class QueryBatcher:
         self.stats = {"batches": 0, "queries": 0, "max_batch_seen": 0}
 
     async def search(self, index: str, query: np.ndarray, k: int,
-                     ef: Optional[int],
-                     include_metadata: bool) -> list[dict[str, Any]]:
-        key = (index, k, ef, include_metadata)
+                     ef: Optional[int], include_metadata: bool,
+                     filter: Optional[str] = None,
+                     text_query: Optional[str] = None,
+                     alpha: float = 0.5,
+                     graph_root: Optional[str] = None,
+                     graph_depth: int = 2,
+                     graph_relation: Optional[str] = None
+                     ) -> list[dict[str, Any]]:
+        key = (index, k, ef, include_metadata, filter, text_query, alpha,
+               graph_root, graph_depth, graph_relation)
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         p = self._pending.get(key)
@@ -64,7 +75,8 @@ class QueryBatcher:
         asyncio.ensure_future(self._run(key, p))
 
     async def _run(self, key: tuple, p: _Pending) -> None:
-        index, k, ef, include_metadata = key
+        (index, k, ef, include_metadata, filt, text_query, alpha,
+         graph_root, graph_depth, graph_relation) = key
         q = np.stack(p.queries)
         self.stats["batches"] += 1
         self.stats["queries"] += len(p.queries)
@@ -74,7 +86,10 @@ class QueryBatcher:
             results = await asyncio.to_thread(
                 lambda: self.engine.search(
                     index, q, k=k, ef=ef,
-                    include_metadata=include_metadata))
+                    include_metadata=include_metadata,
+                    filter=filt, text_query=text_query, alpha=alpha,
+                    graph_root=graph_root, graph_depth=graph_depth,
+                    graph_relation=graph_relation))
         except Exception as e:  # noqa: BLE001 — fan the error out
             for f in p.futures:
                 if not f.done():

@@ -153,6 +153,7 @@ def make_app(engine: Engine, *,
         st = await asyncio.to_thread(engine.stats)
         metrics.vectors_total = sum(
             i["size"] for i in st["indexes"].values())
+        st["batcher"] = dict(batcher.stats)
         return _json(st)
 
     async def system_task(request):
@@ -466,15 +467,21 @@ def make_app(engine: Engine, *,
         if qv is None:
             raise ValueError("query_vector or query_text required")
         gf = b.get("graph_filter") or {}
-        plain = not (b.get("filter") or b.get("text_query") or gf
-                     or b.get("hydrate_relations")
-                     or b.get("include_relations"))
-        if plain:
-            # homogeneous fast path: coalesce concurrent requests into one
-            # device batch (server/batcher.py)
+        batchable = not (b.get("hydrate_relations")
+                         or b.get("include_relations"))
+        if batchable:
+            # coalesce concurrent equal-kwarg requests into one device
+            # batch — shared filter mask / BM25 pass / graph BFS computed
+            # once per batch (server/batcher.py)
             res = await batcher.search(
                 name, np.asarray(qv, np.float32), int(b.get("k", 10)),
-                b.get("ef_search") or None, bool(b.get("hydrate")))
+                b.get("ef_search") or None, bool(b.get("hydrate")),
+                filter=b.get("filter") or None,
+                text_query=b.get("text_query") or None,
+                alpha=float(b.get("alpha", 0.5)),
+                graph_root=gf.get("root_id"),
+                graph_depth=int(gf.get("depth", 2)),
+                graph_relation=gf.get("relation"))
             return _json({"results": hits_to_results(res),
                           "ids": [h["id"] for h in res]})
         hits = await asyncio.to_thread(

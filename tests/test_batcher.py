@@ -34,3 +34,66 @@ def test_concurrent_searches_batch_and_agree():
             assert top == f"v{i}", f"query {i} got {top}"
     finally:
         srv.stop()
+
+
+def test_filtered_and_text_searches_coalesce():
+    """Equal-kwarg non-plain searches (same filter / text query) batch into
+    few device calls, agree with the direct path, and distinct kwargs never
+    cross-contaminate."""
+    srv = ServerFixture()
+    try:
+        base = srv.base
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(300, 16)).astype(np.float32)
+        requests.post(base + "/vector/actions/create",
+                      json={"index_name": "FB", "metric": "euclidean"})
+        requests.post(base + "/vector/actions/add-batch", json={
+            "index_name": "FB",
+            "vectors": [{"id": f"v{i}", "vector": X[i].tolist(),
+                         "metadata": {"par": "even" if i % 2 == 0
+                                      else "odd",
+                                      "body": "alpha doc" if i < 150
+                                      else "beta doc",
+                                      "_indexed_fields": ["body"]}}
+                        for i in range(300)]})
+        before = requests.get(base + "/system/stats").json()["batcher"]
+
+        def one(i):
+            filt = "par = even" if i % 2 == 0 else "par = odd"
+            r = requests.post(base + "/vector/actions/search", json={
+                "index_name": "FB", "query_vector": X[i].tolist(),
+                "k": 1, "filter": filt})
+            return i, r.json()["ids"][0]
+
+        with cf.ThreadPoolExecutor(max_workers=16) as pool:
+            results = list(pool.map(one, range(40)))
+        for i, top in results:
+            # the filter parity matches the query row's own parity, so the
+            # exact row remains eligible and must be top-1
+            assert top == f"v{i}", f"filtered query {i} got {top}"
+
+        # text-fusion searches with identical kwargs also coalesce
+        def hybrid(i):
+            r = requests.post(base + "/vector/actions/search", json={
+                "index_name": "FB", "query_vector": X[i].tolist(),
+                "k": 3, "text_query": "alpha", "alpha": 0.5})
+            return i, r.json()["ids"]
+
+        with cf.ThreadPoolExecutor(max_workers=16) as pool:
+            hy = list(pool.map(hybrid, range(0, 150, 10)))
+        for i, ids in hy:
+            assert ids, f"hybrid query {i} returned nothing"
+            assert all(int(x[1:]) < 150 for x in ids[:1]), \
+                f"hybrid top hit should be an alpha doc, got {ids}"
+
+        after = requests.get(base + "/system/stats").json()["batcher"]
+        ran = after["queries"] - before["queries"]
+        batches = after["batches"] - before["batches"]
+        assert ran == 55, f"expected 55 batched queries, saw {ran}"
+        # 40 filtered (2 keys) + 15 hybrid (1 key): coalescing must beat
+        # one-batch-per-request by a wide margin
+        assert batches <= ran // 2, \
+            f"no coalescing: {batches} batches for {ran} queries"
+        assert after["max_batch_seen"] >= 4
+    finally:
+        srv.stop()
