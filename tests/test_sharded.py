@@ -112,6 +112,35 @@ class TestEngineSharded:
         assert h2 and h2[0]["id"] == "v20"
         e2.close()
 
+    def test_engine_sharded_hybrid_text(self):
+        """BM25 fusion + filtered hybrid on a sharded index: text rows are
+        global gids, so fusion/mask folding must agree with the sharded
+        search's gid row space."""
+        from kektordb_tpu.engine import Engine, EngineConfig
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(200, 16)).astype(np.float32)
+        e = Engine(EngineConfig(start_background=False)).open()
+        e.create_index("sh", m=8, shards=4)
+        e.add_batch("sh", [f"v{i}" for i in range(200)], X,
+                    metadatas=[{"body": "alpha doc" if i < 100
+                                else "beta doc",
+                                "_indexed_fields": ["body"],
+                                "par": i % 2} for i in range(200)])
+        hits = e.search("sh", X[3], k=3, text_query="alpha", alpha=0.5)[0]
+        assert hits[0]["id"] == "v3"
+        hits = e.search("sh", X[150], k=3, text_query="beta",
+                        alpha=0.5)[0]
+        assert hits[0]["id"] == "v150"
+        hits = e.search("sh", X[4], k=3, filter="par = 0",
+                        text_query="alpha", alpha=0.5)[0]
+        assert hits[0]["id"] == "v4"
+        assert all(int(h["id"][1:]) % 2 == 0 for h in hits)
+        # text-only (zero vector) across shards
+        hits = e.search("sh", np.zeros(16, np.float32), k=5,
+                        text_query="beta")[0]
+        assert hits and all(int(h["id"][1:]) >= 100 for h in hits)
+        e.close()
+
     def test_engine_sharded_aof_replay(self, tmp_path):
         from kektordb_tpu.engine import Engine, EngineConfig
         rng = np.random.default_rng(4)
