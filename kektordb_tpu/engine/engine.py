@@ -218,6 +218,7 @@ class Engine:
             "shards": getattr(idx, "n_shards", 0),
             "config": asdict(idx.config) if hasattr(idx, "config") else {},
             "memory": asdict(h.memory),
+            "text": h.meta.text.stats(),
         }
 
     def configure_index(self, name: str, config: dict[str, Any],

@@ -238,3 +238,18 @@ class BM25Index:
         """Dict view of search_arrays (unsorted; caller fuses/sorts)."""
         rows, vals = self.search_arrays(query, fields)
         return dict(zip(rows.tolist(), vals.tolist()))
+
+    def stats(self) -> dict[str, dict[str, float]]:
+        """Per-field TextIndexStats (core.go:908-951: TotalDocs,
+        AvgFieldLength) plus vocab/postings sizes."""
+        out: dict[str, dict[str, float]] = {}
+        for f, lens in self.doc_lengths.items():
+            n = len(lens)
+            post = self.postings.get(f, {})
+            out[f] = {
+                "docs": n,
+                "avg_len": (self._len_sum.get(f, 0) / n) if n else 0.0,
+                "vocab": len(post),
+                "postings": sum(len(p) for p in post.values()),
+            }
+        return out
