@@ -208,6 +208,10 @@ class Engine:
     def index_info(self, name: str) -> dict[str, Any]:
         h = self._handle(name)
         idx = h.index
+        with self._lock.read():   # text.stats() iterates write-hot dicts
+            return self._index_info_locked(name, h, idx)
+
+    def _index_info_locked(self, name, h, idx) -> dict[str, Any]:
         return {
             "name": name, "size": len(idx), "metric": idx.metric,
             "precision": idx.precision, "dimensions": idx.dim,

@@ -35,9 +35,15 @@ class _Pending:
 
 
 class QueryBatcher:
-    def __init__(self, engine, *, window_ms: float = 3.0,
+    def __init__(self, engine, *, window_ms: Optional[float] = None,
                  max_batch: int = 4096):
+        import os
         self.engine = engine
+        if window_ms is None:
+            # ops knob: longer window = more coalescing, more added
+            # latency for one-off requests (default 3 ms; the device
+            # dispatch itself is ~5-30 ms)
+            window_ms = float(os.environ.get("KEKTOR_BATCH_WINDOW_MS", 3))
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
         self._pending: dict[tuple, _Pending] = {}
@@ -52,15 +58,22 @@ class QueryBatcher:
                      graph_depth: int = 2,
                      graph_relation: Optional[str] = None
                      ) -> list[dict[str, Any]]:
+        q1 = np.asarray(query, np.float32).reshape(-1)
+        # zero-vector + text_query is the text-only search mode, and the
+        # engine decides it per BATCH (_is_zero over the stacked queries)
+        # — a text-only request must never coalesce with vector-carrying
+        # requests or it silently gains a garbage vector branch
+        text_only = bool(text_query) and not q1.any()
         key = (index, k, ef, include_metadata, filter, text_query, alpha,
-               graph_root, graph_depth, graph_relation)
+               graph_root, graph_depth, graph_relation, text_only,
+               q1.shape[0])
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         p = self._pending.get(key)
         if p is None:
             p = self._pending[key] = _Pending()
             p.timer = loop.call_later(self.window, self._flush_sync, key)
-        p.queries.append(np.asarray(query, np.float32).reshape(-1))
+        p.queries.append(q1)
         p.futures.append(fut)
         if len(p.queries) >= self.max_batch:
             if p.timer:
@@ -76,13 +89,16 @@ class QueryBatcher:
 
     async def _run(self, key: tuple, p: _Pending) -> None:
         (index, k, ef, include_metadata, filt, text_query, alpha,
-         graph_root, graph_depth, graph_relation) = key
-        q = np.stack(p.queries)
+         graph_root, graph_depth, graph_relation, _text_only, _dim) = key
         self.stats["batches"] += 1
         self.stats["queries"] += len(p.queries)
         self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
                                            len(p.queries))
         try:
+            # inside try: any failure (incl. stacking) must fan out to the
+            # futures — an escaped exception would leave every request in
+            # the batch awaiting forever
+            q = np.stack(p.queries)
             results = await asyncio.to_thread(
                 lambda: self.engine.search(
                     index, q, k=k, ef=ef,

@@ -222,7 +222,12 @@ class BM25Index:
         all_rows = np.concatenate(row_parts)
         all_vals = np.concatenate(val_parts)
         if len(row_parts) == 1:
-            return all_rows, all_vals  # single segment: rows already unique
+            # single segment: rows unique, but posting-dict insertion order
+            # is not ascending after removes/re-adds — honor the contract
+            if all_rows.size > 1 and np.any(np.diff(all_rows) < 0):
+                order = np.argsort(all_rows)
+                return all_rows[order], all_vals[order]
+            return all_rows, all_vals
         span = int(all_rows.max()) + 1
         if all_rows.size * 8 >= span:
             # dense accumulate: O(nnz + span) beats the unique-sort

@@ -36,10 +36,13 @@ def test_concurrent_searches_batch_and_agree():
         srv.stop()
 
 
-def test_filtered_and_text_searches_coalesce():
+def test_filtered_and_text_searches_coalesce(monkeypatch):
     """Equal-kwarg non-plain searches (same filter / text query) batch into
     few device calls, agree with the direct path, and distinct kwargs never
-    cross-contaminate."""
+    cross-contaminate. A generous coalescing window makes the batching
+    assertions deterministic on loaded machines (requests that serialize
+    past a 3 ms window each land in their own batch)."""
+    monkeypatch.setenv("KEKTOR_BATCH_WINDOW_MS", "120")
     srv = ServerFixture()
     try:
         base = srv.base
@@ -86,12 +89,30 @@ def test_filtered_and_text_searches_coalesce():
             assert all(int(x[1:]) < 150 for x in ids[:1]), \
                 f"hybrid top hit should be an alpha doc, got {ids}"
 
+        # text-only (zero-vector) requests must NOT coalesce with
+        # vector-carrying requests of the same text_query: the engine
+        # decides text-only per batch, so mixing would fuse a garbage
+        # vector branch into the text-only client's ranking
+        def textonly_or_hybrid(i):
+            qv = [0.0] * 16 if i % 2 == 0 else X[i].tolist()
+            r = requests.post(base + "/vector/actions/search", json={
+                "index_name": "FB", "query_vector": qv,
+                "k": 5, "text_query": "beta", "alpha": 0.5})
+            return i, r.json()["ids"]
+
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            mixed = list(pool.map(textonly_or_hybrid, range(160, 176)))
+        for i, ids in mixed:
+            if i % 2 == 0:   # text-only: every hit must be a beta doc
+                assert ids and all(int(x[1:]) >= 150 for x in ids), \
+                    f"text-only query contaminated by vector batch: {ids}"
+
         after = requests.get(base + "/system/stats").json()["batcher"]
         ran = after["queries"] - before["queries"]
         batches = after["batches"] - before["batches"]
-        assert ran == 55, f"expected 55 batched queries, saw {ran}"
-        # 40 filtered (2 keys) + 15 hybrid (1 key): coalescing must beat
-        # one-batch-per-request by a wide margin
+        assert ran == 71, f"expected 71 batched queries, saw {ran}"
+        # 40 filtered (2 keys) + 15 hybrid (1 key) + 16 mixed (2 keys):
+        # coalescing must beat one-batch-per-request by a wide margin
         assert batches <= ran // 2, \
             f"no coalescing: {batches} batches for {ran} queries"
         assert after["max_batch_seen"] >= 4
