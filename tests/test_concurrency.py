@@ -132,7 +132,9 @@ def test_engine_concurrent_mixed_load(tmp_path):
                 if op == 0:
                     e.add("c", f"w{seed}-{i}",
                           r.normal(size=dim).astype(np.float32),
-                          {"grp": int(r.integers(0, 4))})
+                          {"grp": int(r.integers(0, 4)),
+                           "body": f"tok{i % 64} alpha note",
+                           "_indexed_fields": ["body"]})
                 elif op == 1:
                     e.delete("c", f"v{int(r.integers(0, 600))}")
                 else:
@@ -146,8 +148,22 @@ def test_engine_concurrent_mixed_load(tmp_path):
         except BaseException as exc:   # noqa: BLE001
             errors.append(exc)
 
+    def poller():
+        # index_info iterates the text index's write-hot dicts; it must
+        # hold the read lock or this races writers (regression: r3)
+        try:
+            while not stop.is_set():
+                info = e.index_info("c")
+                assert info["size"] >= 0
+                for st in info["text"].values():
+                    assert st["docs"] >= 0
+                time.sleep(0.003)
+        except BaseException as exc:   # noqa: BLE001
+            errors.append(exc)
+
     threads = [threading.Thread(target=reader, args=(s,)) for s in range(4)]
     threads += [threading.Thread(target=writer, args=(s,)) for s in range(2)]
+    threads += [threading.Thread(target=poller)]
     [t.start() for t in threads]
     time.sleep(6.0)
     stop.set()
