@@ -165,7 +165,7 @@ class Engine:
         with self._lock:
             if name in self.indexes:
                 raise KeyError(f"index already exists: {name}")
-            if kind not in ("hnsw", "flat"):
+            if kind not in ("hnsw", "flat", "host"):
                 raise ValueError(f"unknown index kind: {kind}")
             if shards > 1:
                 import jax
@@ -420,6 +420,11 @@ class Engine:
         lazy = h.index
         if lazy.kind == "flat":
             h.index = BruteForceIndex(dim, lazy.metric, lazy.precision)
+        elif lazy.kind == "host":
+            # host-RAM arena + chunk-streamed device scan: single-chip
+            # capacity bounded by host memory, not HBM (index/hostarena.py)
+            from ..index.hostarena import HostArenaIndex
+            h.index = HostArenaIndex(dim, lazy.metric, lazy.precision)
         elif lazy.shards > 1:
             from ..parallel.sharded import ShardedHNSW, make_mesh
             h.index = ShardedHNSW(dim, lazy.metric, lazy.precision,

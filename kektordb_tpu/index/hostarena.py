@@ -1,0 +1,247 @@
+"""Host-RAM arena with a chunk-streamed device scan — capacity beyond HBM.
+
+Reference analog: the mmap vector arena + linear scan
+(pkg/storage/mmap/arena.go, pkg/core/vector_index.go:62-148) — the
+reference serves datasets bounded by host RAM, not by any accelerator
+memory. The HBM-resident indexes (HNSWIndex scan/beam, BruteForceIndex)
+cap single-chip capacity at device memory; ShardedHNSW scales it with
+chip count. This index covers the remaining axis: one chip, N bounded by
+host RAM.
+
+TPU-first shape: the arena lives in host numpy; each query batch sweeps
+it in HBM-sized chunks — `jax.device_put` one chunk, run the same fused
+MXU scan kernel the resident path uses (ops.scan.scan_search), and fold
+the chunk's [B, k] result into a running device-side best via one jitted
+merge. All chunk dispatches are ASYNC (JAX dispatch-ahead overlaps the
+host→device copy of chunk i+1 with the matmul of chunk i — the classic
+double-buffer, expressed with no explicit buffer management); a bounded
+sync every `SYNC_EVERY` chunks keeps at most that many chunk buffers
+in flight so HBM never holds more than a window of the arena. One host
+fetch at the end.
+
+Throughput model: one sweep costs N*D*bytes of H2D (PCIe ~10-50 GB/s on
+real hosts), amortized over the whole query batch — the same economics
+as the reference's RAM-bandwidth scan, with the distance math on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as dist
+from ..ops import quantize as quant
+from ..ops import scan as scanops
+from .base import IDMap
+
+# rows per streamed chunk: 2^18 * 128d * 4B = 128 MB f32. Must be a
+# multiple of 1024 (scan kernel N-tile) — capacity rounds up to it.
+CHUNK_ROWS = 1 << 18
+# chunks allowed in flight before a bounding sync (caps transient HBM at
+# ~SYNC_EVERY * chunk bytes)
+SYNC_EVERY = 4
+
+
+@jax.jit
+def _merge_topk(best_d, best_r, d, r):
+    """Fold a chunk's [B,k] hits into the running best (ascending)."""
+    both_d = jnp.concatenate([best_d, d], axis=1)
+    both_r = jnp.concatenate([best_r, r], axis=1)
+    order = jnp.argsort(both_d, axis=1)[:, : best_d.shape[1]]
+    return (jnp.take_along_axis(both_d, order, 1),
+            jnp.take_along_axis(both_r, order, 1))
+
+
+class HostArenaIndex:
+    """BruteForceIndex-compatible surface over a host-RAM arena
+    (kind="host" through the Engine)."""
+
+    GROW = CHUNK_ROWS
+
+    def __init__(self, dim: int, metric: str = dist.L2,
+                 precision: str = dist.F32, chunk_rows: int = CHUNK_ROWS):
+        if metric not in dist.METRICS:
+            raise ValueError(f"unknown metric {metric!r}")
+        if precision not in dist.PRECISIONS:
+            raise ValueError(f"unknown precision {precision!r}")
+        if chunk_rows % 1024:
+            raise ValueError("chunk_rows must be a multiple of 1024")
+        self.dim = dim
+        self.metric = metric
+        self.precision = precision
+        self.chunk_rows = chunk_rows
+        self.ids = IDMap()
+        self._cap = 0
+        np_store = np.int8 if precision == dist.INT8 else (
+            np.float32 if precision == dist.F32 else np.dtype("bfloat16")
+            if hasattr(np, "bfloat16") else np.float32)
+        # bfloat16 numpy arrays via ml_dtypes (jax dep) when asked
+        if precision == dist.BF16:
+            import ml_dtypes
+            np_store = ml_dtypes.bfloat16
+        self._store_dtype = np_store
+        self._vectors = np.zeros((0, dim), np_store)
+        self._norms = np.zeros((0,), np.float32)
+        self._valid = np.zeros((0,), bool)
+        self.quantizer = quant.empty_state()
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    # -- mutation ----------------------------------------------------------
+
+    def _grow_to(self, need: int) -> None:
+        if need <= self._cap:
+            return
+        new_cap = self._cap
+        while new_cap < need:
+            new_cap += self.GROW
+        pad = new_cap - self._cap
+        self._vectors = np.concatenate(
+            [self._vectors, np.zeros((pad, self.dim), self._store_dtype)])
+        self._norms = np.concatenate(
+            [self._norms, np.zeros(pad, np.float32)])
+        self._valid = np.concatenate([self._valid, np.zeros(pad, bool)])
+        self._cap = new_cap
+
+    def _encode(self, vectors: np.ndarray):
+        """(codes, norms): norms are |x|^2 for float L2 (scan bias form),
+        int-domain norms for int8, zeros for cosine."""
+        v = np.asarray(vectors, np.float32)
+        if self.metric == dist.COSINE:
+            v = v / np.maximum(
+                np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        if self.precision == dist.INT8:
+            if not bool(self.quantizer.trained):
+                self.quantizer = quant.train(jnp.asarray(v))
+            codes, norms = quant.quantize(self.quantizer, jnp.asarray(v))
+            return np.asarray(codes), np.asarray(norms)
+        if self.metric == dist.COSINE:
+            norms = np.zeros(v.shape[0], np.float32)
+        else:
+            norms = np.einsum("nd,nd->n", v, v).astype(np.float32)
+        return v.astype(self._store_dtype), norms
+
+    def add(self, ext_id: str, vector: np.ndarray) -> None:
+        self.add_batch([ext_id], np.asarray(vector)[None, :])
+
+    def add_batch(self, ext_ids: Sequence[str], vectors: np.ndarray,
+                  **_) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.shape != (len(ext_ids), self.dim):
+            raise ValueError(
+                f"expected shape ({len(ext_ids)}, {self.dim}), "
+                f"got {vectors.shape}")
+        rows = np.array([self.ids.alloc(e) for e in ext_ids], np.int64)
+        self._grow_to(self.ids.capacity_used)
+        codes, norms = self._encode(vectors)
+        self._vectors[rows] = codes
+        self._norms[rows] = norms
+        self._valid[rows] = True
+
+    def delete(self, ext_id: str) -> bool:
+        if ext_id not in self.ids:
+            return False
+        row = self.ids.release(ext_id)
+        self._valid[row] = False
+        return True
+
+    def get_vector(self, ext_id: str) -> Optional[np.ndarray]:
+        row = self.ids.get(ext_id)
+        if row is None:
+            return None
+        v = self._vectors[row].astype(np.float32)
+        if self.precision == dist.INT8:
+            v = v * (float(self.quantizer.abs_max) / 127.0)
+        return v
+
+    # -- query -------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        allow_rows: Optional[np.ndarray] = None,
+        **_,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Chunk-streamed sweep: (dists [B,k] f32, rows [B,k]; -1 pads)."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        B = queries.shape[0]
+        if self._cap == 0 or not self._valid.any():
+            return (np.full((B, k), np.inf, np.float32),
+                    np.full((B, k), -1, np.int64))
+        # pad the batch to the scan kernel's tile multiple (32 covers the
+        # int8 sublane requirement too); sliced back before returning
+        Bp = -(-B // 32) * 32
+        if Bp != B:
+            queries = np.concatenate(
+                [queries, np.zeros((Bp - B, self.dim), np.float32)])
+        q = jnp.asarray(queries)
+        if self.metric == dist.COSINE:
+            q = dist.normalize(q)
+        qn = jnp.zeros((q.shape[0],), jnp.float32)
+        if self.precision == dist.INT8:
+            q, qn = quant.quantize(self.quantizer, q)
+        allow = None
+        if allow_rows is not None:
+            allow = np.zeros(self._cap, bool)
+            a = np.asarray(allow_rows)
+            if a.dtype == bool:
+                allow[: min(a.size, self._cap)] = a[: self._cap]
+            else:
+                allow[a[a < self._cap]] = True
+
+        C = self.chunk_rows
+        best_d = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
+        best_r = jnp.full((q.shape[0], k), -1, jnp.int32)
+        since_sync = 0
+        for base in range(0, self._cap, C):
+            end = min(base + C, self._cap)
+            valid = self._valid[base:end]
+            if not valid.any():
+                continue
+            if allow is not None:
+                valid = valid & allow[base:end]
+                if not valid.any():
+                    continue
+            pad = C - (end - base)
+            vec_c = self._vectors[base:end]
+            nrm_c = self._norms[base:end]
+            if pad:
+                vec_c = np.concatenate(
+                    [vec_c, np.zeros((pad, self.dim), self._store_dtype)])
+                nrm_c = np.concatenate([nrm_c, np.zeros(pad, np.float32)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            levels = np.where(valid, 0, -1).astype(np.int32)
+            # async H2D + fused scan; JAX dispatch-ahead overlaps chunk
+            # i+1's copy with chunk i's matmul
+            d, r = scanops.scan_search(
+                jax.device_put(jnp.asarray(vec_c)),
+                jax.device_put(jnp.asarray(nrm_c)),
+                jax.device_put(jnp.asarray(levels)),
+                jnp.zeros((C,), bool), None, q, qn,
+                k, metric=self.metric, mode="approx")
+            r = jnp.where(r >= 0, r + base, r)
+            best_d, best_r = _merge_topk(best_d, best_r, d,
+                                         r.astype(jnp.int32))
+            since_sync += 1
+            if since_sync >= SYNC_EVERY:
+                best_d.block_until_ready()   # bound in-flight chunk HBM
+                since_sync = 0
+        d, r = jax.device_get((best_d, best_r))
+        d, r = d[:B], r[:B].astype(np.int64)
+        r[~np.isfinite(d)] = -1
+        return d, r
+
+    def search_ids(self, queries: np.ndarray, k: int, **kw):
+        d, rows = self.search(queries, k, **kw)
+        out = []
+        for b in range(rows.shape[0]):
+            hits = [(self.ids.row_to_ext[r], float(d[b, j]))
+                    for j, r in enumerate(rows[b]) if r >= 0]
+            out.append(hits)
+        return out

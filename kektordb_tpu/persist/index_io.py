@@ -38,6 +38,21 @@ def dump_index(idx, name: str, arrays: dict[str, np.ndarray]
             "loc_shard": [int(x) for x in idx._loc_shard],
             "loc_row": [int(x) for x in idx._loc_row],
         }
+    from ..index.hostarena import HostArenaIndex
+    if isinstance(idx, HostArenaIndex):
+        arrays[f"{name}/vectors"] = idx._vectors
+        arrays[f"{name}/norms"] = idx._norms
+        arrays[f"{name}/valid"] = idx._valid
+        return {
+            "kind": "host",
+            "metric": idx.metric, "precision": idx.precision,
+            "dim": idx.dim,
+            "ext_to_row": dict(idx.ids.ext_to_row),
+            "free": list(idx.ids.free),
+            "rows": len(idx.ids.row_to_ext),
+            "quantizer": {"abs_max": float(idx.quantizer.abs_max),
+                          "trained": bool(idx.quantizer.trained)},
+        }
     if isinstance(idx, BruteForceIndex):
         arrays[f"{name}/vectors"] = np.asarray(idx._vectors)
         arrays[f"{name}/norms"] = np.asarray(idx._norms)
@@ -128,6 +143,19 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
         idx._rev = np.full((idx.n_shards, n), -1, np.int32)
         gids = np.nonzero(idx._loc_shard >= 0)[0]
         idx._rev[idx._loc_shard[gids], idx._loc_row[gids]] = gids
+        return idx
+    if kind == "host":
+        from ..index.hostarena import HostArenaIndex
+        idx = HostArenaIndex(st["dim"], st["metric"], st["precision"])
+        idx._vectors = np.asarray(arrays[f"{name}/vectors"],
+                                  idx._store_dtype)
+        idx._norms = np.asarray(arrays[f"{name}/norms"], np.float32)
+        idx._valid = np.asarray(arrays[f"{name}/valid"], bool)
+        idx._cap = idx._vectors.shape[0]
+        _restore_ids(idx, st)
+        idx.quantizer = quant.QuantizerState(
+            abs_max=jnp.float32(st["quantizer"]["abs_max"]),
+            trained=jnp.asarray(bool(st["quantizer"]["trained"])))
         return idx
     if kind == "flat":
         idx = BruteForceIndex(st["dim"], st["metric"], st["precision"])

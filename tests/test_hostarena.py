@@ -1,0 +1,133 @@
+"""HostArenaIndex: chunk-streamed device scan over a host-RAM arena.
+
+The capacity axis the HBM-resident indexes don't cover (single chip,
+N bounded by host RAM — reference analog: mmap arena + linear scan,
+pkg/storage/mmap/arena.go). Chunk size is shrunk here so a few thousand
+rows exercise the multi-chunk sweep, padding, and merge paths.
+"""
+
+import numpy as np
+import pytest
+
+from kektordb_tpu.index import BruteForceIndex, HostArenaIndex
+from kektordb_tpu.index.hostarena import CHUNK_ROWS
+from kektordb_tpu.ops import distance as dist
+
+CHUNK = 2048  # 2 chunks at N=5000 (cap rounds to 6144)
+
+
+def mk(n=5000, d=24, metric=dist.L2, precision=dist.F32, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    idx = HostArenaIndex(d, metric, precision, chunk_rows=CHUNK)
+    idx.add_batch([f"v{i}" for i in range(n)], X)
+    return idx, X
+
+
+class TestHostArena:
+    def test_matches_bruteforce_exact(self):
+        idx, X = mk()
+        oracle = BruteForceIndex(24)
+        oracle.add_batch([f"v{i}" for i in range(len(X))], X)
+        q = X[:64] + 0.01
+        d, r = idx.search(q, 10)
+        od, orr = oracle.search(q, 10)
+        # same rows (both allocate rows in insertion order)
+        assert (r == orr).mean() > 0.999
+        np.testing.assert_allclose(d, od, rtol=1e-4, atol=1e-3)
+
+    def test_multi_chunk_coverage(self):
+        """Top hit in every chunk of the arena is found."""
+        idx, X = mk()
+        assert idx._cap > CHUNK  # really multi-chunk
+        for probe in (5, CHUNK + 7, len(X) - 3):
+            d, r = idx.search(X[probe], 1)
+            assert r[0, 0] == probe
+            assert d[0, 0] < 1e-3
+
+    def test_cosine(self):
+        idx, X = mk(metric=dist.COSINE)
+        d, r = idx.search(X[100], 3)
+        assert r[0, 0] == 100 and d[0, 0] < 1e-3
+
+    def test_int8(self):
+        idx, X = mk(precision=dist.INT8)
+        d, r = idx.search(X[:32], 5)
+        hit1 = (r[:, 0] == np.arange(32)).mean()
+        assert hit1 > 0.9, hit1   # int8 quantization: near-exact top-1
+
+    def test_filtered(self):
+        idx, X = mk()
+        allow = np.zeros(idx._cap, bool)
+        allow[::7] = True
+        d, r = idx.search(X[:50], 5, allow_rows=allow)
+        live = r[r >= 0]
+        assert live.size and np.all(live % 7 == 0)
+
+    def test_delete_and_reuse(self):
+        idx, X = mk(n=1000)
+        assert idx.delete("v3")
+        d, r = idx.search(X[3], 1)
+        assert r[0, 0] != 3
+        idx.add("back", X[3])   # freed row reused
+        d, r = idx.search(X[3], 1)
+        assert idx.ids.row_to_ext[r[0, 0]] == "back"
+
+    def test_odd_batch_padding(self):
+        idx, X = mk(n=2000)
+        d, r = idx.search(X[:7], 3)    # B=7 → padded to 32, sliced back
+        assert d.shape == (7, 3) and (r[:, 0] == np.arange(7)).all()
+
+    def test_empty_and_errors(self):
+        idx = HostArenaIndex(8, chunk_rows=1024)
+        d, r = idx.search(np.zeros(8, np.float32), 5)
+        assert (r == -1).all() and np.isinf(d).all()
+        with pytest.raises(ValueError):
+            HostArenaIndex(8, chunk_rows=1000)
+        with pytest.raises(ValueError):
+            HostArenaIndex(8, metric="nope")
+        idx.add("a", np.ones(8, np.float32))
+        with pytest.raises(ValueError):
+            idx.add("b", np.ones(9, np.float32))
+
+    def test_search_ids(self):
+        idx, X = mk(n=500)
+        hits = idx.search_ids(X[42], 3)
+        assert hits[0][0][0] == "v42"
+
+    def test_default_chunk_is_aligned(self):
+        assert CHUNK_ROWS % 1024 == 0
+
+
+class TestEngineHost:
+    def test_engine_kind_host_lifecycle(self, tmp_path):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(300, 16)).astype(np.float32)
+        e = Engine(EngineConfig(data_dir=str(tmp_path),
+                                start_background=False)).open()
+        e.create_index("h", kind="host")
+        e.add_batch("h", [f"v{i}" for i in range(300)], X,
+                    metadatas=[{"grp": i % 3} for i in range(300)])
+        assert isinstance(e.indexes["h"].index, HostArenaIndex)
+        assert e.search("h", X[9], k=1)[0][0]["id"] == "v9"
+        hits = e.search("h", X[9], k=5, filter="grp = 0",
+                        include_metadata=True)[0]
+        assert hits and all(h["metadata"]["grp"] == 0 for h in hits)
+        assert e.delete("h", "v9")
+        assert e.search("h", X[9], k=1)[0][0]["id"] != "v9"
+        # checkpoint round-trip preserves the host arena
+        e.save_snapshot()
+        e.close()
+        e2 = Engine(EngineConfig(data_dir=str(tmp_path),
+                                 start_background=False)).open()
+        idx2 = e2.indexes["h"].index
+        assert isinstance(idx2, HostArenaIndex) and len(idx2) == 299
+        assert e2.search("h", X[10], k=1)[0][0]["id"] == "v10"
+        e2.close()
+
+    def test_bad_kind_rejected(self):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        e = Engine(EngineConfig(start_background=False)).open()
+        with pytest.raises(ValueError):
+            e.create_index("x", kind="mmap")
