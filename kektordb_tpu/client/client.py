@@ -97,7 +97,7 @@ class KektorDBClient:
                 ef_construction: int = 200, ef_search: int = 100,
                 text_language: str = "english", kind: str = "hnsw",
                 shards: int = 0, serve_mode: str = "auto") -> dict:
-        """kind: hnsw | flat; shards>1 row-shards over N devices;
+        """kind: hnsw | flat | host; shards>1 row-shards over N devices;
         serve_mode: auto (scan-serve + graph) | scan | beam."""
         return self._post("/vector/actions/create", {
             "index_name": index_name, "metric": metric,
