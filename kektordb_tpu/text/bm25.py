@@ -90,6 +90,11 @@ class BM25Index:
         self._csr: dict[str, _FieldCSR | None] = {}
         # field → writes newer than the snapshot
         self._delta: dict[str, _Delta] = {}
+        # field → row → its distinct tokens: makes remove() O(tokens of
+        # the row) instead of O(vocab) (MetadataStore.remove runs per
+        # set/delete — a full postings sweep per row killed update rates
+        # at large vocabularies)
+        self._row_tokens: dict[str, dict[int, list[str]]] = {}
 
     def fields(self) -> list[str]:
         return list(self.postings.keys())
@@ -118,16 +123,34 @@ class BM25Index:
             self._csr[field] = None
             self._delta.pop(field, None)
 
+    def _drop_postings(self, field: str, row: int) -> bool:
+        """Remove row's postings for one field via the reverse map.
+        Returns True if the row had postings."""
+        toks = self._row_tokens.get(field, {}).pop(row, None)
+        if toks is None:
+            return False
+        post = self.postings.get(field, {})
+        for t in toks:
+            p = post.get(t)
+            if p is not None:
+                p.pop(row, None)
+                if not p:
+                    del post[t]
+        return True
+
     def add(self, row: int, field: str, text: str) -> None:
+        """Upsert: re-adding a row replaces its previous postings."""
         tokens = analyze(text, self.language)
         if not tokens:
             return
+        self._drop_postings(field, row)
         post = self.postings.setdefault(field, {})
         tf: dict[str, int] = defaultdict(int)
         for t in tokens:
             tf[t] += 1
         for t, c in tf.items():
             post.setdefault(t, {})[row] = c
+        self._row_tokens.setdefault(field, {})[row] = list(tf)
         lens = self.doc_lengths.setdefault(field, {})
         old = lens.get(row, 0)
         lens[row] = len(tokens)
@@ -138,11 +161,7 @@ class BM25Index:
     def remove(self, row: int, field: str | None = None) -> None:
         fields = [field] if field else list(self.postings)
         for f in fields:
-            post = self.postings.get(f, {})
-            for t in list(post):
-                post[t].pop(row, None)
-                if not post[t]:
-                    del post[t]
+            self._drop_postings(f, row)
             old = self.doc_lengths.get(f, {}).pop(row, None)
             if old is not None:
                 self._len_sum[f] = self._len_sum.get(f, 0) - old

@@ -62,6 +62,21 @@ class TestBM25:
         assert set(idx.search("kernels")) == {1, 2}
         assert set(idx.search("kernels", fields=["title"])) == {1}
 
+    def test_add_is_upsert_and_remove_is_row_local(self):
+        """add() replaces a row's previous postings (reverse-map upsert);
+        remove() touches only the row's own tokens, not the vocab."""
+        idx = BM25Index()
+        idx.add(1, "body", "alpha beta")
+        idx.add(1, "body", "gamma")          # upsert: alpha/beta drop
+        assert set(idx.search("alpha")) == set()
+        assert set(idx.search("gamma")) == {1}
+        assert idx.stats()["body"] == {
+            "docs": 1, "avg_len": 1.0, "vocab": 1, "postings": 1}
+        idx.add(2, "body", "gamma delta")
+        idx.remove(1)
+        assert set(idx.search("gamma")) == {2}
+        assert 1 not in idx._row_tokens["body"]
+
     def test_delta_fold_threshold(self, monkeypatch):
         """Writes past the fold threshold collapse the delta into a fresh
         snapshot; scoring stays correct on both sides of the fold."""
