@@ -59,8 +59,6 @@ class HostArenaIndex:
     """BruteForceIndex-compatible surface over a host-RAM arena
     (kind="host" through the Engine)."""
 
-    GROW = CHUNK_ROWS
-
     def __init__(self, dim: int, metric: str = dist.L2,
                  precision: str = dist.F32, chunk_rows: int = CHUNK_ROWS):
         if metric not in dist.METRICS:
@@ -75,13 +73,13 @@ class HostArenaIndex:
         self.chunk_rows = chunk_rows
         self.ids = IDMap()
         self._cap = 0
-        np_store = np.int8 if precision == dist.INT8 else (
-            np.float32 if precision == dist.F32 else np.dtype("bfloat16")
-            if hasattr(np, "bfloat16") else np.float32)
-        # bfloat16 numpy arrays via ml_dtypes (jax dep) when asked
-        if precision == dist.BF16:
-            import ml_dtypes
-            np_store = ml_dtypes.bfloat16
+        if precision == dist.INT8:
+            np_store = np.dtype(np.int8)
+        elif precision == dist.BF16:
+            import ml_dtypes               # numpy bf16 (jax dependency)
+            np_store = np.dtype(ml_dtypes.bfloat16)
+        else:
+            np_store = np.dtype(np.float32)
         self._store_dtype = np_store
         self._vectors = np.zeros((0, dim), np_store)
         self._norms = np.zeros((0,), np.float32)
@@ -94,11 +92,15 @@ class HostArenaIndex:
     # -- mutation ----------------------------------------------------------
 
     def _grow_to(self, need: int) -> None:
+        """Geometric growth in chunk multiples: amortized O(N) host
+        memcpy (fixed-increment growth is O(N^2/chunk) at the beyond-HBM
+        scale this index exists for; capacity never re-jits — scan
+        shapes are per-chunk — so tiers buy nothing here)."""
         if need <= self._cap:
             return
-        new_cap = self._cap
+        new_cap = max(self._cap, self.chunk_rows)
         while new_cap < need:
-            new_cap += self.GROW
+            new_cap *= 2
         pad = new_cap - self._cap
         self._vectors = np.concatenate(
             [self._vectors, np.zeros((pad, self.dim), self._store_dtype)])
@@ -193,7 +195,9 @@ class HostArenaIndex:
             if a.dtype == bool:
                 allow[: min(a.size, self._cap)] = a[: self._cap]
             else:
-                allow[a[a < self._cap]] = True
+                # guard the -1 missing-id sentinel: negative indices
+                # would wrap to the arena tail
+                allow[a[(a >= 0) & (a < self._cap)]] = True
 
         C = self.chunk_rows
         best_d = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
@@ -234,6 +238,12 @@ class HostArenaIndex:
                 since_sync = 0
         d, r = jax.device_get((best_d, best_r))
         d, r = d[:B], r[:B].astype(np.int64)
+        if self.precision == dist.INT8 and self.metric == dist.L2:
+            # int8 L2 runs in the quantized domain; rescale to the real
+            # domain like the HNSW serving path (hnsw.py int8 rescale).
+            # Cosine is scale-invariant — no rescale.
+            quantum = float(self.quantizer.abs_max) / 127.0
+            d = d * (quantum * quantum)
         r[~np.isfinite(d)] = -1
         return d, r
 

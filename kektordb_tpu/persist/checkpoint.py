@@ -65,7 +65,7 @@ def save(root: str, arrays: dict[str, np.ndarray], state: dict[str, Any]
     tmp = os.path.join(root, gen + ".tmp")
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, "arrays.npz"), "wb") as f:
-        np.savez(f, **arrays)
+        np.savez(f, **_encode_arrays(arrays))
         f.flush()
         os.fsync(f.fileno())
     with open(os.path.join(tmp, "state.msgpack"), "wb") as f:
@@ -88,11 +88,44 @@ def save(root: str, arrays: dict[str, np.ndarray], state: dict[str, Any]
     return final
 
 
+_BF16 = "::bf16"
+
+
+def _encode_arrays(arrays: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """npz cannot represent ml_dtypes.bfloat16 (it round-trips as raw
+    '|V2' with no cast back) — store bf16 arrays as uint16 views under a
+    tagged key and view them back on load."""
+    import ml_dtypes
+    out = {}
+    for k, a in arrays.items():
+        a = np.asarray(a)
+        if a.dtype == ml_dtypes.bfloat16:
+            out[k + _BF16] = np.ascontiguousarray(a).view(np.uint16)
+        else:
+            out[k] = a
+    return out
+
+
+def _decode_arrays(arrays: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    import ml_dtypes
+    out = {}
+    for k, a in arrays.items():
+        if k.endswith(_BF16):
+            out[k[: -len(_BF16)]] = a.view(ml_dtypes.bfloat16)
+        elif a.dtype.kind == "V" and a.dtype.itemsize == 2:
+            # pre-codec checkpoint that saved bf16 raw: only bf16 arrays
+            # ever had this dtype here
+            out[k] = a.view(ml_dtypes.bfloat16)
+        else:
+            out[k] = a
+    return out
+
+
 def _load_gen(root: str, gen: str
               ) -> tuple[dict[str, np.ndarray], dict[str, Any]]:
     path = os.path.join(root, gen)
     with np.load(os.path.join(path, "arrays.npz")) as z:
-        arrays = {k: z[k] for k in z.files}
+        arrays = _decode_arrays({k: z[k] for k in z.files})
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         state = msgpack.unpackb(f.read(), raw=False, strict_map_key=False,
                                 object_hook=_unpack_hook)

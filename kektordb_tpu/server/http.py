@@ -1142,8 +1142,10 @@ def engine_compress(engine: Engine, name: str, precision: str) -> dict:
     # preserve the index topology: a sharded/scan-mode/flat index must come
     # back with the same kind/shards/serve_mode, not a default HNSW
     from ..index.bruteforce import BruteForceIndex
+    from ..index.hostarena import HostArenaIndex
     from ..parallel.sharded import ShardedHNSW
-    kind = "flat" if isinstance(idx, BruteForceIndex) else "hnsw"
+    kind = "flat" if isinstance(idx, BruteForceIndex) \
+        else "host" if isinstance(idx, HostArenaIndex) else "hnsw"
     shards = idx.n_shards if isinstance(idx, ShardedHNSW) else 0
     serve_mode = getattr(getattr(idx, "config", None), "serve_mode", "auto")
     engine.drop_index(name)

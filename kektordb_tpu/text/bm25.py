@@ -142,6 +142,8 @@ class BM25Index:
         """Upsert: re-adding a row replaces its previous postings."""
         tokens = analyze(text, self.language)
         if not tokens:
+            # upsert to nothing-indexable: the row leaves the field
+            self.remove(row, field)
             return
         self._drop_postings(field, row)
         post = self.postings.setdefault(field, {})

@@ -13,7 +13,7 @@ from kektordb_tpu.index import BruteForceIndex, HostArenaIndex
 from kektordb_tpu.index.hostarena import CHUNK_ROWS
 from kektordb_tpu.ops import distance as dist
 
-CHUNK = 2048  # 2 chunks at N=5000 (cap rounds to 6144)
+CHUNK = 2048  # N=5000 grows geometrically to cap 8192 = 4 chunks
 
 
 def mk(n=5000, d=24, metric=dist.L2, precision=dist.F32, seed=0):
@@ -97,6 +97,49 @@ class TestHostArena:
 
     def test_default_chunk_is_aligned(self):
         assert CHUNK_ROWS % 1024 == 0
+
+    def test_allow_rows_negative_sentinel_ignored(self):
+        """-1 (missing-id sentinel) must not wrap to the arena tail."""
+        idx, X = mk(n=1000)
+        d, r = idx.search(X[:4], 2, allow_rows=np.array([3, -1]))
+        live = r[r >= 0]
+        assert live.size and np.all(live == 3)
+
+    def test_int8_l2_distances_in_real_domain(self):
+        """int8 L2 rescales out of the quantized domain like kind=hnsw."""
+        idx, X = mk(n=2000, precision=dist.INT8)
+        oracle = BruteForceIndex(24)   # f32 exact
+        oracle.add_batch([f"v{i}" for i in range(2000)], X)
+        d, _ = idx.search(X[:16] + 0.5, 1)
+        od, _ = oracle.search(X[:16] + 0.5, 1)
+        # same magnitude as real distances (quantized domain would be
+        # off by (127/abs_max)^2 ~ 1000x); int8 noise stays small once
+        # true distances are O(1)
+        ratio = d[:, 0] / np.maximum(od[:, 0], 1e-9)
+        assert np.all(ratio < 2.0) and np.all(ratio > 0.5), ratio
+
+    def test_geometric_growth(self):
+        idx = HostArenaIndex(8, chunk_rows=1024)
+        idx.add("a", np.ones(8, np.float32))
+        assert idx._cap == 1024        # not the default 262144
+        idx.add_batch([f"b{i}" for i in range(1500)],
+                      np.ones((1500, 8), np.float32))
+        assert idx._cap == 2048 and idx._cap % 1024 == 0
+
+    def test_bf16_checkpoint_roundtrip(self, tmp_path):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(100, 16)).astype(np.float32)
+        e = Engine(EngineConfig(data_dir=str(tmp_path),
+                                start_background=False)).open()
+        e.create_index("b16", kind="host", precision="bfloat16")
+        e.add_batch("b16", [f"v{i}" for i in range(100)], X)
+        e.save_snapshot()
+        e.close()
+        e2 = Engine(EngineConfig(data_dir=str(tmp_path),
+                                 start_background=False)).open()
+        assert e2.search("b16", X[7], k=1)[0][0]["id"] == "v7"
+        e2.close()
 
 
 class TestEngineHost:

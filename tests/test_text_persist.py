@@ -76,6 +76,10 @@ class TestBM25:
         idx.remove(1)
         assert set(idx.search("gamma")) == {2}
         assert 1 not in idx._row_tokens["body"]
+        # upsert to stopword-only text removes the row from the field
+        idx.add(2, "body", "the and of")
+        assert idx.search("gamma") == {} and idx.search("delta") == {}
+        assert idx.stats()["body"]["docs"] == 0
 
     def test_delta_fold_threshold(self, monkeypatch):
         """Writes past the fold threshold collapse the delta into a fresh
