@@ -155,6 +155,8 @@ class Engine:
                      language: str = "english", kind: str = "hnsw",
                      seed: int = 42, shards: int = 0,
                      serve_mode: str = "auto",
+                     serve_proj_dim: int = 0,
+                     serve_proj_rerank: int = 128,
                      _journal: bool = True) -> None:
         """VCREATE (ops.go VCreate). Duplicate names are an error
         (api_contracts.json: duplicate index MUST 409).
@@ -175,7 +177,9 @@ class Engine:
                         "devices are visible")
             cfg = HNSWConfig(m=m, ef_construction=ef_construction,
                              ef_search=ef_search, seed=seed,
-                             serve_mode=serve_mode)
+                             serve_mode=serve_mode,
+                             serve_proj_dim=serve_proj_dim,
+                             serve_proj_rerank=serve_proj_rerank)
             # dimension is fixed lazily on first add, like the reference's
             # dim-on-first-insert; store a factory thunk
             handle = IndexHandle(name,
@@ -192,7 +196,10 @@ class Engine:
                                           "seed": seed,
                                           "kind": kind,
                                           "shards": shards,
-                                          "serve_mode": serve_mode}))
+                                          "serve_mode": serve_mode,
+                                          "serve_proj_dim": serve_proj_dim,
+                                          "serve_proj_rerank":
+                                              serve_proj_rerank}))
 
     def drop_index(self, name: str, _journal: bool = True) -> None:
         with self._lock:

@@ -68,6 +68,15 @@ class HNSWConfig:
     # near-exact recall; "fast": single bf16 pass, ~2x QPS, near-tie
     # reordering on clustered data (measured recall 0.86-0.98 vs 0.997)
     scan_precision: str = "high"
+    # opt-in PCA-projected pass A (pHNSW-style, arXiv:2602.19242): scan a
+    # cached [cap, p] bf16 projection of the arena (p ≪ D → proportionally
+    # less HBM traffic in the scan, the serving bottleneck), then re-rank
+    # the top serve_proj_rerank candidates exactly in full-dim f32. The
+    # projection basis is the top-p PCA directions of a staged-row sample;
+    # the projected arena is a derived cache (rebuilt lazily per state
+    # version, never checkpointed). f32 arenas, scan path only.
+    serve_proj_dim: int = 0
+    serve_proj_rerank: int = 128
 
     def resolved_ml(self) -> float:
         return self.ml if self.ml > 0 else 1.0 / math.log(max(self.m, 2))
@@ -150,6 +159,10 @@ class HNSWIndex:
         # serving nav table cache (see _nav_table)
         self._nav: Optional[jnp.ndarray] = None
         self._nav_version = -1
+        # projected-arena cache for serve_proj_dim (see _proj_arena)
+        self._proj: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None
+        self._proj_version = -1
+        self._proj_basis: Optional[jnp.ndarray] = None
 
     # -- basic accessors -------------------------------------------------
 
@@ -187,6 +200,35 @@ class HNSWIndex:
             self._nav = self.state.nbrs[:, :W]   # eager slice → fresh
             self._nav_version = self._version    # dense [cap, W] buffer
         return self._nav
+
+    def _proj_arena(self) -> Optional[tuple[jnp.ndarray, jnp.ndarray]]:
+        """Lazy ([cap, p] bf16 projected arena, [cap] f32 proj-space
+        norms) for the serve_proj_dim pass-A scan. Derived data: one
+        [cap,D]x[D,p] matmul per state version, never persisted. The PCA
+        basis is computed once from a staged-row sample (top-p
+        eigenvectors of the D x D gram — distances between projections
+        under an orthonormal basis lower-bound true distances, and the
+        exact full-dim re-rank recovers the ordering)."""
+        p = self.config.serve_proj_dim
+        if (not p or p >= self.dim
+                or self.state.vectors.dtype == jnp.int8):
+            return None
+        if self._proj is not None and self._proj_version == self._version:
+            return self._proj
+        if self._proj_basis is None:
+            used = max(self.ids.capacity_used, 1)
+            sample = np.asarray(
+                self.state.vectors[:min(used, 65536)], np.float32)
+            gram = sample.T @ sample                     # [D, D]
+            _, vecs = np.linalg.eigh(gram)               # ascending
+            basis = vecs[:, -p:][:, ::-1].copy()         # top-p, [D, p]
+            self._proj_basis = jnp.asarray(basis, jnp.float32)
+        V = self.state.vectors.astype(jnp.float32)
+        P = V @ self._proj_basis
+        pn = jnp.sum(P * P, axis=-1)
+        self._proj = (P.astype(jnp.bfloat16), pn)
+        self._proj_version = self._version
+        return self._proj
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -675,6 +717,34 @@ class HNSWIndex:
             q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
             qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)]) \
                 if qn is not None else None
+        proj = None if self.config.scan_exact else self._proj_arena()
+        if proj is not None:
+            # PCA-projected pass A (config.serve_proj_dim): scan the
+            # [cap, p] bf16 projection (p/D of the arena's HBM traffic),
+            # then re-rank the top C candidates exactly in full-dim f32 —
+            # the same scan+rerank shape as the default path with a
+            # cheaper candidate generator.
+            Pa, pn = proj
+            qp = (q.astype(jnp.float32) @ self._proj_basis
+                  ).astype(jnp.bfloat16)
+            C = min(max(self.config.serve_proj_rerank, 2 * k),
+                    self._cap // scanlib.g_for(self._cap))
+            _, rows = scanlib.scan_search(
+                Pa, pn, self.state.levels, self.state.deleted, allow, qp,
+                jnp.zeros((Bp,), jnp.float32), C, metric=self.metric,
+                mode="approx", has_allow=allow is not None, fast=True)
+            d = dist.gathered(
+                self.state.vectors, rows.astype(jnp.int32), q,
+                self.metric, corpus_norms=self.state.norms,
+                query_norms=qn)
+            d = jnp.where(rows < 0, jnp.inf, d)
+            order = jnp.argsort(d, axis=1)
+            d = jnp.take_along_axis(d, order, 1)
+            rows = jnp.take_along_axis(rows, order, 1)
+            rows = jnp.where(jnp.isinf(d), -1, rows)
+            d = jnp.maximum(d, 0.0)
+            import jax
+            return jax.device_get((d[:B, :k], rows[:B, :k]))
         kf = min(max(2 * k, 32),
                  self._cap // scanlib.g_for(self._cap))
         d, rows = scanlib.scan_search(

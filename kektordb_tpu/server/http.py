@@ -266,6 +266,8 @@ def make_app(engine: Engine, *,
                 language=b.get("text_language", "english"),
                 seed=int(b.get("seed", 42)),
                 kind=b.get("kind", "hnsw"),
+                serve_proj_dim=int(b.get("serve_proj_dim", 0)),
+                serve_proj_rerank=int(b.get("serve_proj_rerank", 128)),
                 shards=int(b.get("shards", 0)),
                 serve_mode=b.get("serve_mode", "auto"))
         except KeyError as e:

@@ -245,3 +245,70 @@ def test_scan_batch_chunking_bounds_intermediates(monkeypatch):
     np.testing.assert_array_equal(np.asarray(r_full), np.asarray(r_chunk))
     np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_chunk),
                                rtol=1e-5)
+
+
+class TestProjectedScan:
+    """serve_proj_dim: PCA-projected pass A + exact full-dim re-rank
+    (pHNSW-style). Data is anisotropic (decaying spectrum) — the regime
+    the projection targets; on isotropic noise PCA buys nothing and the
+    knob should stay off."""
+
+    def _data(self, n=20000, d=64, seed=0):
+        rng = np.random.default_rng(seed)
+        spectrum = np.exp(-np.arange(d) / 8.0)
+        basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+        X = (rng.normal(size=(n, d)) * spectrum) @ basis.T
+        return X.astype(np.float32)
+
+    def test_recall_vs_oracle(self):
+        X = self._data()
+        cfg = HNSWConfig(serve_mode="scan", serve_proj_dim=16,
+                         serve_proj_rerank=64)
+        idx = HNSWIndex(64, config=cfg)
+        idx.add_batch([f"v{i}" for i in range(len(X))], X)
+        oracle = BruteForceIndex(64)
+        oracle.add_batch([f"v{i}" for i in range(len(X))], X)
+        q = X[:128] + 0.001 * self._data(128, 64, seed=9)[:128]
+        d, r = idx.search(q, 10)
+        od, orr = oracle.search(q, 10)
+        hit = np.mean([len(set(r[b][r[b] >= 0]) & set(orr[b]))
+                       for b in range(128)]) / 10.0
+        assert hit >= 0.97, f"projected-scan recall@10 {hit}"
+        # distances are exact full-dim f32 (re-ranked)
+        top_match = r[:, 0] == orr[:, 0]
+        np.testing.assert_allclose(d[top_match, 0], od[top_match, 0],
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_cache_invalidates_on_write(self):
+        X = self._data(n=4000)
+        cfg = HNSWConfig(serve_mode="scan", serve_proj_dim=8,
+                         serve_proj_rerank=32)
+        idx = HNSWIndex(64, config=cfg)
+        idx.add_batch([f"v{i}" for i in range(len(X))], X)
+        idx.search(X[0], 1)                    # builds the proj cache
+        fresh = (X[1] * -3.0).astype(np.float32)
+        idx.add("fresh", fresh)
+        d, r = idx.search(fresh, 1)
+        assert idx.ids.row_to_ext[int(r[0, 0])] == "fresh"
+
+    def test_filtered_projected(self):
+        X = self._data(n=6000)
+        cfg = HNSWConfig(serve_mode="scan", serve_proj_dim=8,
+                         serve_proj_rerank=32)
+        idx = HNSWIndex(64, config=cfg)
+        idx.add_batch([f"v{i}" for i in range(len(X))], X)
+        allow = np.zeros(idx._cap, bool)
+        allow[::3] = True
+        d, r = idx.search(X[:20], 5, allow_rows=allow)
+        live = r[r >= 0]
+        assert live.size and np.all(live % 3 == 0)
+
+    def test_int8_index_skips_projection(self):
+        X = self._data(n=3000)
+        cfg = HNSWConfig(serve_mode="scan", serve_proj_dim=8)
+        idx = HNSWIndex(64, metric=dist.COSINE, precision="int8",
+                        config=cfg)
+        idx.add_batch([f"v{i}" for i in range(len(X))], X)
+        assert idx._proj_arena() is None       # f32-only knob
+        d, r = idx.search(X[5], 1)
+        assert r[0, 0] == 5
