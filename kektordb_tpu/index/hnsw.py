@@ -74,7 +74,8 @@ class HNSWConfig:
     # the top serve_proj_rerank candidates exactly in full-dim f32. The
     # projection basis is the top-p PCA directions of a staged-row sample;
     # the projected arena is a derived cache (rebuilt lazily per state
-    # version, never checkpointed). f32 arenas, scan path only.
+    # version, never checkpointed). f32 arenas, unsharded scan path
+    # only (the sharded SPMD program serves from its own stacked state).
     serve_proj_dim: int = 0
     serve_proj_rerank: int = 128
 
