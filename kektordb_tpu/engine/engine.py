@@ -1198,7 +1198,7 @@ class Engine:
         _graph_from_state(self.graph, state.get("graph") or {})
         from ..persist import index_io
         for name, st in (state.get("indexes") or {}).items():
-            cfg = HNSWConfig(**st["config"]) if "config" in st else None
+            cfg = index_io._cfg_from(st) if "config" in st else None
             if st.get("lazy"):
                 h = IndexHandle(name,
                                 _LazyIndex(st["metric"], st["precision"],
@@ -1256,6 +1256,18 @@ class Engine:
                 continue
             if name not in self.indexes and ops.get("create"):
                 c = ops["create"]
+                # forward compat: a journal written by a newer build may
+                # carry config keys this build doesn't know — drop them
+                # with a warning instead of refusing to open the DB
+                import inspect
+                known = set(inspect.signature(
+                    self.create_index).parameters)
+                unknown = set(c) - known
+                if unknown:
+                    log.warning("AOF replay: ignoring unknown index "
+                                "config keys %s for %s",
+                                sorted(unknown), name)
+                    c = {k: v for k, v in c.items() if k in known}
                 try:
                     self.create_index(name, _journal=False, **c)
                 except ValueError:

@@ -91,6 +91,23 @@ def dump_index(idx, name: str, arrays: dict[str, np.ndarray]
     }
 
 
+def _cfg_from(st: dict[str, Any]):
+    """HNSWConfig from a checkpoint, dropping keys a newer build added
+    (forward compat: an old binary must still open a new checkpoint)."""
+    import dataclasses
+
+    from ..index.hnsw import HNSWConfig
+    known = {f.name for f in dataclasses.fields(HNSWConfig)}
+    raw = st.get("config") or {}
+    unknown = set(raw) - known
+    if unknown:
+        import logging
+        logging.getLogger("kektordb.persist").warning(
+            "checkpoint: ignoring unknown index config keys %s",
+            sorted(unknown))
+    return HNSWConfig(**{k: v for k, v in raw.items() if k in known})
+
+
 def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
                name: str):
     import jax.numpy as jnp
@@ -103,7 +120,7 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
     kind = st.get("kind", "hnsw")
     if kind == "sharded":
         from ..parallel.sharded import ShardedHNSW, make_mesh
-        cfg = HNSWConfig(**st["config"])
+        cfg = _cfg_from(st)
         try:
             mesh = make_mesh(st["n_shards"])
         except ValueError:
@@ -168,7 +185,7 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
             abs_max=jnp.float32(st["quantizer"]["abs_max"]),
             trained=jnp.asarray(bool(st["quantizer"]["trained"])))
         return idx
-    cfg = HNSWConfig(**st["config"])
+    cfg = _cfg_from(st)
     idx = HNSWIndex(st["dim"], st["metric"], st["precision"], cfg)
     leaves = {leaf: jnp.asarray(arrays[f"{name}/{leaf}"])
               for leaf in K.GraphState._fields}
@@ -204,7 +221,7 @@ def _merge_sharded_to_single(st: dict[str, Any],
     lost; the graph is rebuilt, which is the one-time degrade cost)."""
     from ..index.hnsw import HNSWConfig, HNSWIndex
 
-    cfg = HNSWConfig(**st["config"])
+    cfg = _cfg_from(st)
     idx = HNSWIndex(st["dim"], st["metric"], st["precision"], cfg)
     serve_q = False
     for j, sst in enumerate(st["shards"]):
