@@ -299,6 +299,59 @@ def main() -> None:
         mark("scan_exact")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        # PCA-projected pass A (serve_proj_dim): [N, p] bf16 scan + exact
+        # full-dim re-rank — pipelined like the headline for comparison.
+        # Only meaningful on spectrally-decaying data: measure the top-32
+        # energy fraction first and skip (labeled) when the corpus is
+        # isotropic — this synthetic SIFT-like generator draws cluster
+        # centers uniformly in all dims, so it IS near-isotropic and the
+        # projection discards distance signal (recall ~0.5 measured);
+        # real embedding corpora concentrate energy and are the target.
+        sample_v = base[:65536].astype(np.float64)
+        sample_v = sample_v - sample_v.mean(axis=0)   # distances only see
+        ev = np.linalg.eigvalsh(sample_v.T @ sample_v)  # centered variance
+        energy32 = float(ev[-32:].sum() / max(ev.sum(), 1e-12))
+        extras["proj32_energy_fraction"] = round(energy32, 3)
+        idx.config.serve_proj_dim = 32
+        idx.config.serve_proj_rerank = 64
+        proj = idx._proj_arena() if energy32 >= 0.6 else None
+        if proj is None:
+            extras["proj32_skipped_isotropic_data"] = True
+        else:
+            Pa, pn = proj
+            basis = idx._proj_basis
+
+            @jax.jit
+            def proj_batch(qd):
+                qp = (qd @ basis).astype(jnp.bfloat16)
+                _, rows = scanlib.scan_search(
+                    Pa, pn, st.levels, st.deleted, None, qp, zeros_qn,
+                    64, metric=dist.L2, mode="approx", has_allow=False,
+                    fast=True)
+                dd = dist.gathered(st.vectors, rows.astype(jnp.int32),
+                                   qd, dist.L2, corpus_norms=st.norms,
+                                   query_norms=zeros_qn)
+                dd = jnp.where(rows < 0, jnp.inf, dd)
+                order = jnp.argsort(dd, axis=1)[:, :10]
+                return (jnp.take_along_axis(dd, order, 1),
+                        jnp.take_along_axis(rows, order, 1))
+
+            o = proj_batch(qdevs[0]); jax.block_until_ready(o)
+            t0 = time.time()
+            outs_p = [proj_batch(qd) for qd in qdevs]
+            jax.block_until_ready(outs_p)
+            extras["proj32_qps"] = round(nq / (time.time() - t0), 1)
+            gp = np.concatenate(
+                [np.asarray(o[1]) for o in outs_p], 0)[:sample, :10]
+            extras["proj32_recall_at_10"] = round(float(np.mean([
+                len(set(map(int, gp[b])) & set(map(int, gt_ids[b]))) / 10
+                for b in range(sample)])), 4)
+        idx.config.serve_proj_dim = 0
+        idx._proj = None
+        idx._proj_basis = None
+        mark("proj32")
+
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # graph beam path (the round-1 serving engine), per-batch sync
         _ = idx.search(queries[:qbatch], 10, mode="beam")
         t0 = time.time()
@@ -517,7 +570,10 @@ def main() -> None:
                        filter="grp = 7 AND score > 0.25", decay=False)
         t0 = time.time()
         for j in range(2):
-            r = eng.search("bench", queries[j * 1024:(j + 1) * 1024], k=10,
+            # wrapping window: nq may be < 2048 in smoke runs — an empty
+            # tail slice would recompile (and return no batches) here
+            at = (j * 1024) % max(len(queries) - 1024, 1)
+            r = eng.search("bench", queries[at:at + 1024], k=10,
                            filter="grp = 7 AND score > 0.25", decay=False)
         extras["filtered_real_filter_qps"] = round(
             2 * 1024 / (time.time() - t0), 1)
@@ -538,7 +594,8 @@ def main() -> None:
                        alpha=0.5, decay=False)
         t0 = time.time()
         for j in range(4):
-            _ = eng.search("bench", queries[j * 256:(j + 1) * 256], k=10,
+            at = (j * 256) % max(len(queries) - 256, 1)
+            _ = eng.search("bench", queries[at:at + 256], k=10,
                            text_query="tok7 tok42", alpha=0.5, decay=False)
         extras["hybrid_qps"] = round(4 * 256 / (time.time() - t0), 1)
 
@@ -551,7 +608,8 @@ def main() -> None:
                        graph_depth=2, decay=False)
         t0 = time.time()
         for j in range(4):
-            _ = eng.search("bench", queries[j * 256:(j + 1) * 256], k=10,
+            at = (j * 256) % max(len(queries) - 256, 1)
+            _ = eng.search("bench", queries[at:at + 256], k=10,
                            graph_root="v0", graph_depth=2, decay=False)
         extras["graph_restricted_qps"] = round(
             4 * 256 / (time.time() - t0), 1)

@@ -220,6 +220,11 @@ class HNSWIndex:
             used = max(self.ids.capacity_used, 1)
             sample = np.asarray(
                 self.state.vectors[:min(used, 65536)], np.float32)
+            # center before the gram: L2 ranking sees only DIFFERENCES, so
+            # the basis must capture variance directions — on offset data
+            # (e.g. byte-range SIFT) the raw gram's top eigenvector is the
+            # mean direction and wastes a whole component
+            sample = sample - sample.mean(axis=0, keepdims=True)
             gram = sample.T @ sample                     # [D, D]
             _, vecs = np.linalg.eigh(gram)               # ascending
             basis = vecs[:, -p:][:, ::-1].copy()         # top-p, [D, p]
