@@ -156,6 +156,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError as exc:
+        # a wedged/unreachable TPU tunnel raises UNAVAILABLE after its
+        # internal ~25-min claim deadline — emit a parseable result line
+        # instead of dying JSON-less (the driver records this file)
+        print(json.dumps({
+            "metric": "SIFT1M-style 128d L2 batched query QPS "
+                      "(fused MXU scan serve, k=10)",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+            "error": f"device backend unavailable: {exc}"}))
+        return
+
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
