@@ -109,6 +109,8 @@ export class KektorDBClient {
       shards: opts.shards ?? 0,
       kind: opts.kind ?? "hnsw",
       serve_mode: opts.serveMode ?? "auto",
+      serve_proj_dim: opts.serveProjDim ?? 0,
+      serve_proj_rerank: opts.serveProjRerank ?? 128,
     });
   }
 

@@ -56,10 +56,15 @@ export interface CreateIndexOptions {
   textLanguage?: string;
   /** Row-shard the index over N devices (TPU-native scaling surface). */
   shards?: number;
-  /** hnsw (graph) or flat (exact scan). */
-  kind?: "hnsw" | "flat" | string;
+  /** hnsw (graph), flat (exact scan), host (host-RAM arena — capacity
+   *  beyond HBM, chunk-streamed device scan). */
+  kind?: "hnsw" | "flat" | "host" | string;
   /** auto (scan-serve + graph), scan (no graph), beam (graph traversal). */
   serveMode?: "auto" | "scan" | "beam" | string;
+  /** Opt-in PCA-projected pass A: scan a [N, p] projection then re-rank
+   *  exactly in full dim. Only for spectrally-decaying corpora. */
+  serveProjDim?: number;
+  serveProjRerank?: number;
 }
 
 export interface IndexInfo {

@@ -96,15 +96,21 @@ class KektorDBClient:
                 precision: str = "float32", m: int = 16,
                 ef_construction: int = 200, ef_search: int = 100,
                 text_language: str = "english", kind: str = "hnsw",
-                shards: int = 0, serve_mode: str = "auto") -> dict:
+                shards: int = 0, serve_mode: str = "auto",
+                serve_proj_dim: int = 0,
+                serve_proj_rerank: int = 128) -> dict:
         """kind: hnsw | flat | host; shards>1 row-shards over N devices;
-        serve_mode: auto (scan-serve + graph) | scan | beam."""
+        serve_mode: auto (scan-serve + graph) | scan | beam;
+        serve_proj_dim: opt-in PCA-projected pass A (spectrally-decaying
+        corpora only)."""
         return self._post("/vector/actions/create", {
             "index_name": index_name, "metric": metric,
             "precision": precision, "m": m,
             "ef_construction": ef_construction, "ef_search": ef_search,
             "text_language": text_language, "kind": kind,
-            "shards": shards, "serve_mode": serve_mode})
+            "shards": shards, "serve_mode": serve_mode,
+            "serve_proj_dim": serve_proj_dim,
+            "serve_proj_rerank": serve_proj_rerank})
 
     def list_indexes(self) -> list[dict]:
         return self._get("/vector/indexes")
