@@ -74,8 +74,10 @@ class HNSWConfig:
     # the top serve_proj_rerank candidates exactly in full-dim f32. The
     # projection basis is the top-p PCA directions of a staged-row sample;
     # the projected arena is a derived cache (rebuilt lazily per state
-    # version, never checkpointed). f32 arenas, unsharded scan path
-    # only (the sharded SPMD program serves from its own stacked state).
+    # version, never checkpointed). f32 arenas, scan paths (both the
+    # single-device path and the sharded SPMD program, which re-ranks
+    # locally per shard before the ICI merge so the collective sees
+    # exact distances).
     serve_proj_dim: int = 0
     serve_proj_rerank: int = 128
 

@@ -101,6 +101,13 @@ class ShardedHNSW:
         self._stacked_key = None
         self._rev_dev = None
         self._rev_dirty = True
+        # projected-arena stack for serve_proj_dim (see _get_proj):
+        # per-shard [cap, p] bf16 + [cap] f32 proj norms, device-resident,
+        # version-keyed like _stacked; basis shared across shards so
+        # projected scores are comparable at the merge
+        self._proj_stacked = None
+        self._proj_key = None
+        self._proj_basis: Optional[jax.Array] = None
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -161,6 +168,39 @@ class ShardedHNSW:
         self._stacked = K.GraphState(*leaves)
         self._stacked_key = key
         return self._stacked
+
+    def _get_proj(self):
+        """([S, cap, p] bf16 stacked projections, [S, cap] f32 proj
+        norms) for the serve_proj_dim SPMD scan, or None. Each shard's
+        projection is computed ON its own device (one [cap,D]x[D,p]
+        matmul) and assembled without copies like _get_stacked."""
+        p = self.config.serve_proj_dim
+        if (not p or p >= self.dim or self._serve_quantized
+                or self.shards[0].state.vectors.dtype != jnp.float32):
+            return None
+        key = tuple(s._version for s in self.shards)
+        if self._proj_stacked is not None and self._proj_key == key:
+            return self._proj_stacked
+        if self._proj_basis is None:
+            s0 = self.shards[0]
+            used = max(s0.ids.capacity_used, 1)
+            sample = np.asarray(
+                s0.state.vectors[:min(used, 65536)], np.float32)
+            sample = sample - sample.mean(axis=0, keepdims=True)
+            _, vecs = np.linalg.eigh(sample.T @ sample)
+            self._proj_basis = jnp.asarray(
+                vecs[:, -p:][:, ::-1].copy(), jnp.float32)
+        devs = list(self.mesh.devices.flat)
+        pas, pns = [], []
+        for s, d in zip(self.shards, devs):
+            basis_d = jax.device_put(self._proj_basis, d)
+            pa = s.state.vectors.astype(jnp.float32) @ basis_d
+            pns.append(jnp.sum(pa * pa, axis=-1))
+            pas.append(pa.astype(jnp.bfloat16))
+        self._proj_stacked = (self._stack_leaf(pas, devs),
+                              self._stack_leaf(pns, devs))
+        self._proj_key = key
+        return self._proj_stacked
 
     def _stack_leaf(self, xs, devs):
         shape = (self.n_shards,) + tuple(xs[0].shape)
@@ -529,12 +569,23 @@ class ShardedHNSW:
                 q = jnp.concatenate(
                     [q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
                 qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)])
-            d, sh, rows = _sharded_scan(
-                self.mesh, self.axis, stacked, rev, allow_j, q, qn,
-                k=k, metric=self.metric,
-                mode="exact" if self.config.scan_exact else "approx",
-                has_allow=allow_j is not None,
-                fast=self.config.scan_precision == "fast")
+            pj = None if self.config.scan_exact else self._get_proj()
+            if pj is not None:
+                cap0 = self.shards[0]._cap
+                C = min(max(self.config.serve_proj_rerank, 2 * k),
+                        cap0 // scanlib.g_for(cap0))
+                d, sh, rows = _sharded_proj_scan(
+                    self.mesh, self.axis, stacked, pj[0], pj[1],
+                    self._proj_basis, rev, allow_j, q, qn,
+                    k=k, C=C, metric=self.metric,
+                    has_allow=allow_j is not None)
+            else:
+                d, sh, rows = _sharded_scan(
+                    self.mesh, self.axis, stacked, rev, allow_j, q, qn,
+                    k=k, metric=self.metric,
+                    mode="exact" if self.config.scan_exact else "approx",
+                    has_allow=allow_j is not None,
+                    fast=self.config.scan_precision == "fast")
             d, sh, rows = d[:B], sh[:B], rows[:B]
         else:
             ef = max(ef or self.config.ef_search, k)
@@ -644,6 +695,51 @@ def _sharded_search(mesh: Mesh, axis: str, stacked: K.GraphState,
         rev = jnp.zeros((S, 1), jnp.int32)   # unused placeholders
         allow = jnp.zeros((1,), bool)
     return fn(stacked, rev, allow, q, qn)
+
+
+def _sharded_proj_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
+                       proj_stk, pn_stk, basis,
+                       rev: Optional[jax.Array],
+                       allow: Optional[jax.Array],
+                       q: jax.Array, qn: jax.Array,
+                       *, k: int, C: int, metric: str, has_allow: bool):
+    """shard_map body for serve_proj_dim: local [cap, p] projected scan
+    finds C candidates, a LOCAL exact full-dim re-rank fixes their order,
+    and only then do [B, k] exact tops cross ICI in the merge — the
+    collective sees final distances, so cross-shard comparability doesn't
+    depend on the projection at all."""
+
+    def body(state_blk, proj_blk, pn_blk, basis_r, rev_blk, allow_g,
+             q, qn):
+        state = jax.tree.map(lambda x: x[0], state_blk)
+        pa, pn = proj_blk[0], pn_blk[0]
+        a = _local_allow(rev_blk, allow_g) if has_allow else None
+        qp = (q.astype(jnp.float32) @ basis_r).astype(jnp.bfloat16)
+        _, rows = scanlib.scan_search(
+            pa, pn, state.levels, state.deleted, a, qp,
+            jnp.zeros_like(qn), C, metric=metric, mode="approx",
+            has_allow=has_allow, fast=True)
+        d = dist.gathered(state.vectors, rows.astype(jnp.int32), q,
+                          metric, corpus_norms=state.norms,
+                          query_norms=qn)
+        d = jnp.where(rows < 0, jnp.inf, d)
+        order = jnp.argsort(d, axis=1)
+        d = jnp.take_along_axis(d, order, 1)
+        rows = jnp.take_along_axis(rows, order, 1)
+        rows = jnp.where(jnp.isinf(d), -1, rows)
+        return _merge_tops(axis, jnp.maximum(d, 0.0), rows, k)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(axis), P(), P(),
+                  P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    if not has_allow:
+        S = mesh.devices.size
+        rev = jnp.zeros((S, 1), jnp.int32)
+        allow = jnp.zeros((1,), bool)
+    return fn(stacked, proj_stk, pn_stk, basis, rev, allow, q, qn)
 
 
 def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,

@@ -315,3 +315,51 @@ def test_sharded_beam_mode(sharded):
     total = sum(len({f"v{int(r)}" for r in gi[b] if r >= 0} &
                     {h[0] for h in hits[b]}) for b in range(32))
     assert total / 320 >= 0.85
+
+
+def test_sharded_projected_scan():
+    """serve_proj_dim under shard_map: per-shard projected scan + local
+    exact re-rank; the merge sees exact distances. Anisotropic data (the
+    projection's target regime)."""
+    rng = np.random.default_rng(11)
+    d = 32
+    spectrum = np.exp(-np.arange(d) / 5.0)
+    X = (rng.normal(size=(4000, d)) * spectrum).astype(np.float32)
+    cfg = HNSWConfig(m=8, serve_mode="scan", serve_proj_dim=8,
+                     serve_proj_rerank=48)
+    idx = ShardedHNSW(d, dist.L2, dist.F32, cfg, mesh=make_mesh(8))
+    idx.add_batch([f"v{i}" for i in range(4000)], X)
+    assert idx._get_proj() is not None
+
+    # exact self-hits across all shards
+    hits = idx.search_ids(X[:64], 1)
+    top1 = sum(hits[b][0][0] == f"v{b}" for b in range(64))
+    assert top1 == 64, top1
+
+    # recall vs the same index with projection off
+    q = X[:128] + 0.001
+    d_on, sh_on, r_on = idx._search_raw(q, 10)
+    idx.config.serve_proj_dim = 0
+    d_off, sh_off, r_off = idx._search_raw(q, 10)
+    idx.config.serve_proj_dim = 8
+    agree = np.mean([
+        len({(int(sh_on[b, j]), int(r_on[b, j])) for j in range(10)
+             if r_on[b, j] >= 0}
+            & {(int(sh_off[b, j]), int(r_off[b, j])) for j in range(10)})
+        for b in range(128)]) / 10.0
+    assert agree >= 0.95, agree
+
+    # filtered: allow mask folds into the projected scan per shard
+    allow = np.zeros(idx.ids.capacity(), bool) \
+        if hasattr(idx.ids, "capacity") else None
+    gids = [idx.ids.ext_to_row[f"v{i}"] for i in range(0, 4000, 5)]
+    hits = idx.search_ids(X[:16], 3, allow_rows=np.array(gids))
+    for b in range(16):
+        for ext, _ in hits[b]:
+            assert int(ext[1:]) % 5 == 0, hits[b]
+
+    # streaming add invalidates the projected stack
+    fresh = (X[0] * -5.0).astype(np.float32)
+    idx.add("fresh", fresh)
+    hits = idx.search_ids(fresh, 1)
+    assert hits[0][0][0] == "fresh"
