@@ -431,7 +431,10 @@ class Engine:
             # host-RAM arena + chunk-streamed device scan: single-chip
             # capacity bounded by host memory, not HBM (index/hostarena.py)
             from ..index.hostarena import HostArenaIndex
-            h.index = HostArenaIndex(dim, lazy.metric, lazy.precision)
+            h.index = HostArenaIndex(
+                dim, lazy.metric, lazy.precision,
+                proj_dim=lazy.cfg.serve_proj_dim,
+                proj_rerank=lazy.cfg.serve_proj_rerank)
         elif lazy.shards > 1:
             from ..parallel.sharded import ShardedHNSW, make_mesh
             h.index = ShardedHNSW(dim, lazy.metric, lazy.precision,

@@ -60,7 +60,8 @@ class HostArenaIndex:
     (kind="host" through the Engine)."""
 
     def __init__(self, dim: int, metric: str = dist.L2,
-                 precision: str = dist.F32, chunk_rows: int = CHUNK_ROWS):
+                 precision: str = dist.F32, chunk_rows: int = CHUNK_ROWS,
+                 proj_dim: int = 0, proj_rerank: int = 128):
         if metric not in dist.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
         if precision not in dist.PRECISIONS:
@@ -85,6 +86,17 @@ class HostArenaIndex:
         self._norms = np.zeros((0,), np.float32)
         self._valid = np.zeros((0,), bool)
         self.quantizer = quant.empty_state()
+        # opt-in projected sweep: the host arena is H2D-bound, so
+        # streaming a [cap, p] bf16 projection instead of the full
+        # arena cuts the transfer by (D*bytes)/(p*2)x; candidates are
+        # then exactly re-ranked ON HOST from the full-dim numpy arena
+        # (a [B, C, D] gather+einsum — trivial beside the sweep).
+        # f32 arenas only; same isotropy caveat as HNSWConfig.
+        self.proj_dim = proj_dim if precision == dist.F32 else 0
+        self.proj_rerank = proj_rerank
+        self._proj_basis: Optional[np.ndarray] = None    # [D, p] f32
+        self._proj_vecs = None                           # [cap, p] bf16
+        self._proj_norms = np.zeros((0,), np.float32)
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -107,6 +119,12 @@ class HostArenaIndex:
         self._norms = np.concatenate(
             [self._norms, np.zeros(pad, np.float32)])
         self._valid = np.concatenate([self._valid, np.zeros(pad, bool)])
+        if self._proj_vecs is not None:
+            self._proj_vecs = np.concatenate(
+                [self._proj_vecs,
+                 np.zeros((pad, self.proj_dim), self._proj_vecs.dtype)])
+            self._proj_norms = np.concatenate(
+                [self._proj_norms, np.zeros(pad, np.float32)])
         self._cap = new_cap
 
     def _encode(self, vectors: np.ndarray):
@@ -143,6 +161,31 @@ class HostArenaIndex:
         self._vectors[rows] = codes
         self._norms[rows] = norms
         self._valid[rows] = True
+        if self.proj_dim and 0 < self.proj_dim < self.dim:
+            self._project_rows(rows)
+
+    def _project_rows(self, rows: np.ndarray) -> None:
+        """Keep the host-side projected mirror in sync (incremental —
+        new rows are projected with the standing basis; the basis is
+        fit once from the first sample, centered)."""
+        import ml_dtypes
+        p = self.proj_dim
+        if self._proj_basis is None:
+            live = np.nonzero(self._valid)[0]
+            if live.size < max(4 * p, 64):
+                return                      # fit later, on first search
+            sample = self._vectors[live[:65536]].astype(np.float32)
+            sample = sample - sample.mean(axis=0, keepdims=True)
+            _, vecs = np.linalg.eigh(sample.T @ sample)
+            self._proj_basis = vecs[:, -p:][:, ::-1].astype(np.float32)
+            self._proj_vecs = np.zeros((self._cap, p), ml_dtypes.bfloat16)
+            self._proj_norms = np.zeros(self._cap, np.float32)
+            rows = live                     # project everything staged
+        for i in range(0, rows.size, 1 << 20):   # bound the f32 cast
+            rr = rows[i:i + (1 << 20)]
+            pa = self._vectors[rr].astype(np.float32) @ self._proj_basis
+            self._proj_vecs[rr] = pa.astype(ml_dtypes.bfloat16)
+            self._proj_norms[rr] = np.einsum("nd,nd->n", pa, pa)
 
     def delete(self, ext_id: str) -> bool:
         if ext_id not in self.ids:
@@ -199,6 +242,11 @@ class HostArenaIndex:
                 # would wrap to the arena tail
                 allow[a[(a >= 0) & (a < self._cap)]] = True
 
+        if self.proj_dim and self._proj_basis is None:
+            self._project_rows(np.empty(0, np.int64))    # fit on demand
+        if self._proj_basis is not None and self.precision == dist.F32:
+            return self._search_projected(queries, q, B, k, allow)
+
         C = self.chunk_rows
         best_d = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
         best_r = jnp.full((q.shape[0], k), -1, jnp.int32)
@@ -246,6 +294,74 @@ class HostArenaIndex:
             d = d * (quantum * quantum)
         r[~np.isfinite(d)] = -1
         return d, r
+
+    def _search_projected(self, q_host: np.ndarray, q_pad: "jnp.ndarray",
+                          B: int, k: int,
+                          allow: Optional[np.ndarray]
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """Projected sweep: stream the [cap, p] bf16 mirror (D*bytes/(2p)
+        times less H2D than the full arena), merge the per-chunk top C on
+        device, then re-rank the C winners exactly ON HOST from the f32
+        arena (a [B, C, D] numpy gather+einsum)."""
+        Cn = self.chunk_rows
+        Cc = max(self.proj_rerank, 2 * k)
+        # bound by the chunk scan's reduced pass-B width (G-group argmin)
+        Cc = min(Cc, Cn // scanops.g_for(Cn))
+        qp = (np.asarray(q_pad, np.float32) @ self._proj_basis)
+        qp_dev = jnp.asarray(qp.astype(np.float32))
+        Bp = qp.shape[0]
+        zeros_qn = jnp.zeros((Bp,), jnp.float32)
+        best_d = jnp.full((Bp, Cc), jnp.inf, jnp.float32)
+        best_r = jnp.full((Bp, Cc), -1, jnp.int32)
+        since_sync = 0
+        for base in range(0, self._cap, Cn):
+            end = min(base + Cn, self._cap)
+            valid = self._valid[base:end]
+            if not valid.any():
+                continue
+            if allow is not None:
+                valid = valid & allow[base:end]
+                if not valid.any():
+                    continue
+            pad = Cn - (end - base)
+            pv = self._proj_vecs[base:end]
+            pn = self._proj_norms[base:end]
+            if pad:
+                pv = np.concatenate(
+                    [pv, np.zeros((pad, self.proj_dim), pv.dtype)])
+                pn = np.concatenate([pn, np.zeros(pad, np.float32)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            levels = np.where(valid, 0, -1).astype(np.int32)
+            d, r = scanops.scan_search(
+                jax.device_put(jnp.asarray(pv)),
+                jax.device_put(jnp.asarray(pn)),
+                jax.device_put(jnp.asarray(levels)),
+                jnp.zeros((Cn,), bool), None, qp_dev, zeros_qn,
+                Cc, metric=self.metric, mode="approx")
+            r = jnp.where(r >= 0, r + base, r)
+            best_d, best_r = _merge_topk(best_d, best_r, d,
+                                         r.astype(jnp.int32))
+            since_sync += 1
+            if since_sync >= SYNC_EVERY:
+                best_d.block_until_ready()
+                since_sync = 0
+        rows = np.asarray(jax.device_get(best_r))[:B]        # [B, Cc]
+        # exact full-dim host re-rank
+        qf = np.asarray(q_pad, np.float32)[:B]
+        safe = np.maximum(rows, 0)
+        cand = self._vectors[safe].astype(np.float32)        # [B, Cc, D]
+        dots = np.einsum("bcd,bd->bc", cand, qf)
+        if self.metric == dist.COSINE:
+            d = 1.0 - dots
+        else:
+            qn2 = np.einsum("bd,bd->b", qf, qf)[:, None]
+            d = self._norms[safe] - 2.0 * dots + qn2
+        d = np.where(rows < 0, np.inf, d).astype(np.float32)
+        order = np.argsort(d, axis=1)[:, :k]
+        d = np.take_along_axis(d, order, 1)
+        rows = np.take_along_axis(rows, order, 1).astype(np.int64)
+        rows[~np.isfinite(d)] = -1
+        return np.maximum(d, 0.0), rows
 
     def search_ids(self, queries: np.ndarray, k: int, **kw):
         d, rows = self.search(queries, k, **kw)

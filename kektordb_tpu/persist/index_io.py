@@ -47,6 +47,7 @@ def dump_index(idx, name: str, arrays: dict[str, np.ndarray]
             "kind": "host",
             "metric": idx.metric, "precision": idx.precision,
             "dim": idx.dim,
+            "proj_dim": idx.proj_dim, "proj_rerank": idx.proj_rerank,
             "ext_to_row": dict(idx.ids.ext_to_row),
             "free": list(idx.ids.free),
             "rows": len(idx.ids.row_to_ext),
@@ -163,7 +164,9 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
         return idx
     if kind == "host":
         from ..index.hostarena import HostArenaIndex
-        idx = HostArenaIndex(st["dim"], st["metric"], st["precision"])
+        idx = HostArenaIndex(st["dim"], st["metric"], st["precision"],
+                             proj_dim=int(st.get("proj_dim", 0)),
+                             proj_rerank=int(st.get("proj_rerank", 128)))
         idx._vectors = np.asarray(arrays[f"{name}/vectors"],
                                   idx._store_dtype)
         idx._norms = np.asarray(arrays[f"{name}/norms"], np.float32)

@@ -174,3 +174,69 @@ class TestEngineHost:
         e = Engine(EngineConfig(start_background=False)).open()
         with pytest.raises(ValueError):
             e.create_index("x", kind="mmap")
+
+
+class TestHostArenaProjected:
+    """proj_dim: streamed [cap, p] bf16 sweep + exact host re-rank —
+    the H2D-bound host arena's projection analog (D*bytes/2p less
+    transfer). Anisotropic data, the projection's target regime."""
+
+    def _mk(self, n=5000, d=48, p=12, **kw):
+        rng = np.random.default_rng(3)
+        spectrum = np.exp(-np.arange(d) / 6.0)
+        basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+        X = ((rng.normal(size=(n, d)) * spectrum) @ basis.T
+             ).astype(np.float32)
+        idx = HostArenaIndex(d, chunk_rows=2048, proj_dim=p,
+                             proj_rerank=48, **kw)
+        idx.add_batch([f"v{i}" for i in range(n)], X)
+        return idx, X
+
+    def test_recall_vs_exact(self):
+        idx, X = self._mk()
+        oracle = BruteForceIndex(48)
+        oracle.add_batch([f"v{i}" for i in range(len(X))], X)
+        q = X[:64] + 0.001
+        d, r = idx.search(q, 10)
+        od, orr = oracle.search(q, 10)
+        hit = np.mean([len(set(r[b][r[b] >= 0]) & set(orr[b]))
+                       for b in range(64)]) / 10.0
+        assert hit >= 0.95, hit
+        # distances are exact f32 (host re-rank)
+        m = r[:, 0] == orr[:, 0]
+        np.testing.assert_allclose(d[m, 0], od[m, 0], rtol=1e-4,
+                                   atol=1e-3)
+
+    def test_streaming_add_projected(self):
+        idx, X = self._mk(n=3000)
+        fresh = (X[0] * -4.0).astype(np.float32)
+        idx.add("fresh", fresh)
+        d, r = idx.search(fresh, 1)
+        assert idx.ids.row_to_ext[int(r[0, 0])] == "fresh"
+
+    def test_filtered_projected(self):
+        idx, X = self._mk(n=3000)
+        allow = np.zeros(idx._cap, bool)
+        allow[::4] = True
+        d, r = idx.search(X[:20], 5, allow_rows=allow)
+        live = r[r >= 0]
+        assert live.size and np.all(live % 4 == 0)
+
+    def test_checkpoint_preserves_proj_config(self, tmp_path):
+        from kektordb_tpu.engine import Engine, EngineConfig
+        rng = np.random.default_rng(4)
+        spectrum = np.exp(-np.arange(24) / 4.0)
+        X = (rng.normal(size=(400, 24)) * spectrum).astype(np.float32)
+        e = Engine(EngineConfig(data_dir=str(tmp_path),
+                                start_background=False)).open()
+        e.create_index("hp", kind="host", serve_proj_dim=6,
+                       serve_proj_rerank=32)
+        e.add_batch("hp", [f"v{i}" for i in range(400)], X)
+        assert e.search("hp", X[5], k=1)[0][0]["id"] == "v5"
+        e.save_snapshot(); e.close()
+        e2 = Engine(EngineConfig(data_dir=str(tmp_path),
+                                 start_background=False)).open()
+        idx2 = e2.indexes["hp"].index
+        assert idx2.proj_dim == 6
+        assert e2.search("hp", X[6], k=1)[0][0]["id"] == "v6"
+        e2.close()
