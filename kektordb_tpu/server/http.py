@@ -1150,13 +1150,20 @@ def engine_compress(engine: Engine, name: str, precision: str) -> dict:
         else "host" if isinstance(idx, HostArenaIndex) else "hnsw"
     shards = idx.n_shards if isinstance(idx, ShardedHNSW) else 0
     serve_mode = getattr(getattr(idx, "config", None), "serve_mode", "auto")
+    # proj knobs live on config for hnsw/sharded, as attributes for host
+    proj_dim = info["config"].get(
+        "serve_proj_dim", getattr(idx, "proj_dim", 0))
+    proj_rerank = info["config"].get(
+        "serve_proj_rerank", getattr(idx, "proj_rerank", 128))
     engine.drop_index(name)
     engine.create_index(name, metric=info["metric"], precision=precision,
                         m=info["config"].get("m", 16),
                         ef_construction=info["config"].get(
                             "ef_construction", 200),
                         ef_search=info["config"].get("ef_search", 100),
-                        kind=kind, shards=shards, serve_mode=serve_mode)
+                        kind=kind, shards=shards, serve_mode=serve_mode,
+                        serve_proj_dim=proj_dim,
+                        serve_proj_rerank=proj_rerank)
     if ids:
         engine.add_batch(name, ids, np.stack(vecs), metas)
     return {"status": "ok", "precision": precision, "count": len(ids)}
