@@ -227,7 +227,10 @@ class Engine:
             "serve_mode": getattr(getattr(idx, "config", None),
                                   "serve_mode", ""),
             "shards": getattr(idx, "n_shards", 0),
-            "config": asdict(idx.config) if hasattr(idx, "config") else {},
+            "config": asdict(idx.config) if hasattr(idx, "config")
+            else {k: getattr(idx, k)
+                  for k in ("chunk_rows", "proj_dim", "proj_rerank")
+                  if hasattr(idx, k)},
             "memory": asdict(h.memory),
             "text": h.meta.text.stats(),
         }
