@@ -272,6 +272,35 @@ class Engine:
                     icfg.serve_mode = config["serve_mode"]
                 if "max_unlinked" in config:
                     icfg.max_unlinked = max(0, int(config["max_unlinked"]))
+                if "serve_proj_dim" in config:
+                    # runtime A/B of the projected pass A: caches are
+                    # version-keyed derived data, so changing the knob
+                    # just invalidates them (basis refits on next query)
+                    icfg.serve_proj_dim = max(0,
+                                              int(config["serve_proj_dim"]))
+                    for obj in (h.index,):
+                        if hasattr(obj, "_proj_basis"):
+                            obj._proj_basis = None
+                        if hasattr(obj, "_proj"):
+                            obj._proj = None
+                            obj._proj_version = -1
+                        if hasattr(obj, "_proj_stacked"):
+                            obj._proj_stacked = None
+                            obj._proj_key = None
+                if "serve_proj_rerank" in config:
+                    icfg.serve_proj_rerank = max(
+                        1, int(config["serve_proj_rerank"]))
+            elif hasattr(h.index, "proj_dim"):
+                # host arena: attribute knobs + host-side mirror reset
+                if "serve_proj_dim" in config:
+                    h.index.proj_dim = max(0,
+                                           int(config["serve_proj_dim"]))
+                    h.index._proj_basis = None
+                    h.index._proj_vecs = None
+                    h.index._proj_norms = np.zeros((0,), np.float32)
+                if "serve_proj_rerank" in config:
+                    h.index.proj_rerank = max(
+                        1, int(config["serve_proj_rerank"]))
             if _journal:
                 self._journal("VCONFIG", name, json.dumps(config))
 

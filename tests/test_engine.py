@@ -419,3 +419,30 @@ def test_vconfig_scan_knobs(tmp_path):
     icfg2 = e2.indexes["idx"].index.config
     assert icfg2.scan_exact and icfg2.serve_mode == "scan"
     e2.close()
+
+
+def test_vconfig_serve_proj_toggle():
+    """Runtime A/B of the projected pass A through VCONFIG, all kinds —
+    caches are derived data, so toggling just invalidates them."""
+    rng = np.random.default_rng(0)
+    spec = np.exp(-np.arange(24) / 5.0)
+    X = (rng.normal(size=(1500, 24)) * spec).astype(np.float32)
+    e = mk()
+    e.create_index("a", serve_mode="scan")
+    e.add_batch("a", [f"v{i}" for i in range(1500)], X)
+    e.configure_index("a", {"serve_proj_dim": 6, "serve_proj_rerank": 32})
+    assert e.indexes["a"].index._proj_arena() is not None
+    assert e.search("a", X[5], k=1)[0][0]["id"] == "v5"
+    e.configure_index("a", {"serve_proj_dim": 0})
+    assert e.indexes["a"].index._proj_arena() is None
+    assert e.search("a", X[5], k=1)[0][0]["id"] == "v5"
+
+    e.create_index("h", kind="host")
+    e.add_batch("h", [f"h{i}" for i in range(1000)], X[:1000])
+    e.configure_index("h", {"serve_proj_dim": 6})
+    assert e.search("h", X[7], k=1)[0][0]["id"] == "h7"
+    assert e.indexes["h"].index._proj_basis is not None
+    e.configure_index("h", {"serve_proj_rerank": 24})   # rerank alone
+    assert e.indexes["h"].index.proj_rerank == 24
+    e.configure_index("h", {"serve_proj_dim": 0})
+    assert e.search("h", X[7], k=1)[0][0]["id"] == "h7"
