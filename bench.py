@@ -582,14 +582,17 @@ def main() -> None:
         r = eng.search("bench", queries[:1024], k=10,
                        filter="grp = 7 AND score > 0.25", decay=False)
         t0 = time.time()
+        ran_q = 0
         for j in range(2):
             # wrapping window: nq may be < 2048 in smoke runs — an empty
             # tail slice would recompile (and return no batches) here
             at = (j * 1024) % max(len(queries) - 1024, 1)
-            r = eng.search("bench", queries[at:at + 1024], k=10,
+            win = queries[at:at + 1024]
+            r = eng.search("bench", win, k=10,
                            filter="grp = 7 AND score > 0.25", decay=False)
+            ran_q += len(win)
         extras["filtered_real_filter_qps"] = round(
-            2 * 1024 / (time.time() - t0), 1)
+            ran_q / (time.time() - t0), 1)
         assert all(hh["id"] for hh in r[0]), "filtered search returned junk"
         del metas_1m
 
@@ -606,11 +609,14 @@ def main() -> None:
         _ = eng.search("bench", queries[:256], k=10, text_query="tok7 tok42",
                        alpha=0.5, decay=False)
         t0 = time.time()
+        ran_q = 0
         for j in range(4):
             at = (j * 256) % max(len(queries) - 256, 1)
-            _ = eng.search("bench", queries[at:at + 256], k=10,
+            win = queries[at:at + 256]
+            _ = eng.search("bench", win, k=10,
                            text_query="tok7 tok42", alpha=0.5, decay=False)
-        extras["hybrid_qps"] = round(4 * 256 / (time.time() - t0), 1)
+            ran_q += len(win)
+        extras["hybrid_qps"] = round(ran_q / (time.time() - t0), 1)
 
         # graph-restricted: allow set = 2-hop neighborhood of a root node
         rng_g = np.random.default_rng(5)
@@ -620,12 +626,15 @@ def main() -> None:
         _ = eng.search("bench", queries[:256], k=10, graph_root="v0",
                        graph_depth=2, decay=False)
         t0 = time.time()
+        ran_q = 0
         for j in range(4):
             at = (j * 256) % max(len(queries) - 256, 1)
-            _ = eng.search("bench", queries[at:at + 256], k=10,
+            win = queries[at:at + 256]
+            _ = eng.search("bench", win, k=10,
                            graph_root="v0", graph_depth=2, decay=False)
+            ran_q += len(win)
         extras["graph_restricted_qps"] = round(
-            4 * 256 / (time.time() - t0), 1)
+            ran_q / (time.time() - t0), 1)
         eng.indexes.pop("bench")
         eng.close()
         mark("meta+hybrid+graph")

@@ -292,9 +292,12 @@ class Engine:
                         1, int(config["serve_proj_rerank"]))
             elif hasattr(h.index, "proj_dim"):
                 # host arena: attribute knobs + host-side mirror reset
+                # (same applicability rule as the constructor: f32 only,
+                # and _project_rows itself rejects p >= dim)
                 if "serve_proj_dim" in config:
                     h.index.proj_dim = max(0,
-                                           int(config["serve_proj_dim"]))
+                                           int(config["serve_proj_dim"])) \
+                        if h.index.precision == dist.F32 else 0
                     h.index._proj_basis = None
                     h.index._proj_vecs = None
                     h.index._proj_norms = np.zeros((0,), np.float32)

@@ -222,15 +222,8 @@ class HNSWIndex:
             used = max(self.ids.capacity_used, 1)
             sample = np.asarray(
                 self.state.vectors[:min(used, 65536)], np.float32)
-            # center before the gram: L2 ranking sees only DIFFERENCES, so
-            # the basis must capture variance directions — on offset data
-            # (e.g. byte-range SIFT) the raw gram's top eigenvector is the
-            # mean direction and wastes a whole component
-            sample = sample - sample.mean(axis=0, keepdims=True)
-            gram = sample.T @ sample                     # [D, D]
-            _, vecs = np.linalg.eigh(gram)               # ascending
-            basis = vecs[:, -p:][:, ::-1].copy()         # top-p, [D, p]
-            self._proj_basis = jnp.asarray(basis, jnp.float32)
+            self._proj_basis = jnp.asarray(
+                quant.fit_pca_basis(sample, p), jnp.float32)
         V = self.state.vectors.astype(jnp.float32)
         P = V @ self._proj_basis
         pn = jnp.sum(P * P, axis=-1)

@@ -161,8 +161,8 @@ class HostArenaIndex:
         self._vectors[rows] = codes
         self._norms[rows] = norms
         self._valid[rows] = True
-        if self.proj_dim and 0 < self.proj_dim < self.dim:
-            self._project_rows(rows)
+        if self.proj_dim:
+            self._project_rows(rows)   # guards applicability itself
 
     def _project_rows(self, rows: np.ndarray) -> None:
         """Keep the host-side projected mirror in sync (incremental —
@@ -170,14 +170,14 @@ class HostArenaIndex:
         fit once from the first sample, centered)."""
         import ml_dtypes
         p = self.proj_dim
+        if not (0 < p < self.dim) or self.precision != dist.F32:
+            return                          # projection not applicable
         if self._proj_basis is None:
             live = np.nonzero(self._valid)[0]
             if live.size < max(4 * p, 64):
                 return                      # fit later, on first search
             sample = self._vectors[live[:65536]].astype(np.float32)
-            sample = sample - sample.mean(axis=0, keepdims=True)
-            _, vecs = np.linalg.eigh(sample.T @ sample)
-            self._proj_basis = vecs[:, -p:][:, ::-1].astype(np.float32)
+            self._proj_basis = quant.fit_pca_basis(sample, p)
             self._proj_vecs = np.zeros((self._cap, p), ml_dtypes.bfloat16)
             self._proj_norms = np.zeros(self._cap, np.float32)
             rows = live                     # project everything staged

@@ -73,3 +73,17 @@ def quantize(state: QuantizerState, vectors: jax.Array) -> tuple[jax.Array, jax.
 def dequantize(state: QuantizerState, codes: jax.Array) -> jax.Array:
     """int8 codes → f32 (quantizer.go:169-186)."""
     return codes.astype(jnp.float32) * (state.abs_max / 127.0)
+
+
+def fit_pca_basis(sample, p: int):
+    """Top-p PCA directions of a (host numpy) sample, centered — the
+    shared basis fit for every serve_proj_dim surface (hnsw scan,
+    sharded SPMD, host arena). Centering matters: L2 ranking sees only
+    DIFFERENCES, and on offset data (byte-range SIFT) the raw gram's top
+    eigenvector is the mean direction, wasting a whole component.
+    Returns [D, p] float32 (numpy)."""
+    import numpy as _np
+    s = _np.asarray(sample, _np.float32)
+    s = s - s.mean(axis=0, keepdims=True)
+    _, vecs = _np.linalg.eigh(s.T @ s)
+    return vecs[:, -p:][:, ::-1].astype(_np.float32)

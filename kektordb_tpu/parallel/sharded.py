@@ -107,6 +107,7 @@ class ShardedHNSW:
         # projected scores are comparable at the merge
         self._proj_stacked = None
         self._proj_key = None
+        self._proj_parts = None
         self._proj_basis: Optional[jax.Array] = None
 
     def __len__(self) -> int:
@@ -186,19 +187,25 @@ class ShardedHNSW:
             used = max(s0.ids.capacity_used, 1)
             sample = np.asarray(
                 s0.state.vectors[:min(used, 65536)], np.float32)
-            sample = sample - sample.mean(axis=0, keepdims=True)
-            _, vecs = np.linalg.eigh(sample.T @ sample)
             self._proj_basis = jnp.asarray(
-                vecs[:, -p:][:, ::-1].copy(), jnp.float32)
+                quant.fit_pca_basis(sample, p), jnp.float32)
         devs = list(self.mesh.devices.flat)
-        pas, pns = [], []
-        for s, d in zip(self.shards, devs):
+        # re-project only shards whose version moved since the last stack
+        # (a single streaming add must not trigger S full arena matmuls)
+        old = dict(zip(self._proj_key or (), self._proj_parts or ()))             if False else None  # parts tracked positionally below
+        parts = self._proj_parts if self._proj_parts is not None             and self._proj_key is not None else [None] * self.n_shards
+        old_key = self._proj_key or (None,) * self.n_shards
+        for i, (s, d) in enumerate(zip(self.shards, devs)):
+            if parts[i] is not None and old_key[i] == s._version                     and parts[i][0].shape[0] == s._cap:
+                continue
             basis_d = jax.device_put(self._proj_basis, d)
             pa = s.state.vectors.astype(jnp.float32) @ basis_d
-            pns.append(jnp.sum(pa * pa, axis=-1))
-            pas.append(pa.astype(jnp.bfloat16))
-        self._proj_stacked = (self._stack_leaf(pas, devs),
-                              self._stack_leaf(pns, devs))
+            parts[i] = (pa.astype(jnp.bfloat16),
+                        jnp.sum(pa * pa, axis=-1))
+        self._proj_parts = parts
+        self._proj_stacked = (
+            self._stack_leaf([x[0] for x in parts], devs),
+            self._stack_leaf([x[1] for x in parts], devs))
         self._proj_key = key
         return self._proj_stacked
 

@@ -240,3 +240,15 @@ class TestHostArenaProjected:
         assert idx2.proj_dim == 6
         assert e2.search("hp", X[6], k=1)[0][0]["id"] == "v6"
         e2.close()
+
+    def test_proj_dim_larger_than_dim_degrades(self):
+        """proj_dim >= dim is not applicable — searches must fall back to
+        the full sweep, never crash (regression: the fit path assigned a
+        [n, D] projection into a [n, p] mirror)."""
+        rng = np.random.default_rng(6)
+        X = rng.normal(size=(300, 16)).astype(np.float32)
+        idx = HostArenaIndex(16, chunk_rows=1024, proj_dim=64)
+        idx.add_batch([f"v{i}" for i in range(300)], X)
+        d, r = idx.search(X[3], 1)
+        assert idx.ids.row_to_ext[int(r[0, 0])] == "v3"
+        assert idx._proj_basis is None

@@ -350,8 +350,6 @@ def test_sharded_projected_scan():
     assert agree >= 0.95, agree
 
     # filtered: allow mask folds into the projected scan per shard
-    allow = np.zeros(idx.ids.capacity(), bool) \
-        if hasattr(idx.ids, "capacity") else None
     gids = [idx.ids.ext_to_row[f"v{i}"] for i in range(0, 4000, 5)]
     hits = idx.search_ids(X[:16], 3, allow_rows=np.array(gids))
     for b in range(16):
