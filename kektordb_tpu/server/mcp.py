@@ -276,10 +276,13 @@ class MCPService:
                                 for n in e.list_indexes()]}
 
         @t("create_index", "Create a vector index",
-           {"name": S, "metric": S, "precision": S})
+           {"name": S, "metric": S, "precision": S, "kind": S,
+            "shards": N})
         def create_index(a):
             e.create_index(a["name"], metric=a.get("metric", "cosine"),
-                           precision=a.get("precision", "float32"))
+                           precision=a.get("precision", "float32"),
+                           kind=a.get("kind", "hnsw"),
+                           shards=int(a.get("shards", 0)))
             return {"status": "ok"}
 
         @t("delete_index", "Drop a vector index", {"name": S})
