@@ -21,6 +21,10 @@ from kektordb_tpu.engine import Engine, EngineConfig
 
 engine = Engine(EngineConfig(start_background=False)).open()
 engine.create_index("big", kind="host", metric="cosine")
+# For spectrally-decaying corpora (real embeddings), add
+# serve_proj_dim=32 to sweep a [N, 32] bf16 projection instead of the
+# full arena (the host arena is H2D-bound, so this multiplies
+# throughput by ~D*bytes/64) with an exact full-dim re-rank on host.
 
 rng = np.random.default_rng(0)
 X = rng.normal(size=(20_000, 64)).astype(np.float32)
