@@ -169,6 +169,13 @@ class Engine:
                 raise KeyError(f"index already exists: {name}")
             if kind not in ("hnsw", "flat", "host"):
                 raise ValueError(f"unknown index kind: {kind}")
+            # validate eagerly: the index itself is built lazily on first
+            # add (dim-on-first-insert), but a bad metric/precision must
+            # 400 at create time, not poison the first VADD
+            if metric not in dist.METRICS:
+                raise ValueError(f"unknown metric {metric!r}")
+            if precision not in dist.PRECISIONS:
+                raise ValueError(f"unknown precision {precision!r}")
             if shards > 1:
                 import jax
                 if shards > len(jax.devices()):

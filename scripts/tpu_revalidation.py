@@ -73,20 +73,27 @@ def main() -> None:
         Pa, pn = proj
         basis = idx._proj_basis
 
+        # arena arrays must be jit ARGUMENTS: closure-captured device
+        # arrays are embedded as HLO constants and the tunnel's
+        # remote_compile rejects the request body with HTTP 413
         @jax.jit
-        def proj_batch(qd):
-            qp = (qd @ basis).astype(jnp.bfloat16)
+        def proj_kernel(Pa_, pn_, vec_, nrm_, lev_, del_, basis_, qd):
+            qp = (qd @ basis_).astype(jnp.bfloat16)
             _, rows = scanlib.scan_search(
-                Pa, pn, st.levels, st.deleted, None, qp, zq, 64,
+                Pa_, pn_, lev_, del_, None, qp, zq, 64,
                 metric=dist.L2, mode="approx", has_allow=False,
                 fast=True)
-            dd = dist.gathered(st.vectors, rows.astype(jnp.int32), qd,
-                               dist.L2, corpus_norms=st.norms,
+            dd = dist.gathered(vec_, rows.astype(jnp.int32), qd,
+                               dist.L2, corpus_norms=nrm_,
                                query_norms=zq)
             dd = jnp.where(rows < 0, jnp.inf, dd)
             order = jnp.argsort(dd, axis=1)[:, :10]
             return (jnp.take_along_axis(dd, order, 1),
                     jnp.take_along_axis(rows, order, 1))
+
+        def proj_batch(qd):
+            return proj_kernel(Pa, pn, st.vectors, st.norms, st.levels,
+                               st.deleted, basis, qd)
 
         o = proj_batch(qdevs[0]); jax.block_until_ready(o)
         t0 = time.time()
