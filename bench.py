@@ -658,6 +658,39 @@ def main() -> None:
                 return a_kernel(APa, apn, ast.vectors, ast.norms,
                                 ast.levels, ast.deleted, abasis, aqe, aqn)
             a_qps_recall("aniso_proj32", a_proj)
+        del aidx
+
+        # host arena × projected sweep — the combination the projection
+        # exists for: the chunk-streamed sweep is H2D-bandwidth-bound
+        # (host_arena_qps above), and the [cap, p] bf16 mirror cuts that
+        # traffic to p/(2D) of the arena with an exact full-dim re-rank
+        # on host RAM. Full-dim sweep measured once for the ratio.
+        from kektordb_tpu.index.hostarena import HostArenaIndex
+        hq_a = aq[:1024]
+        hfull = HostArenaIndex(384, dist.COSINE)
+        hfull.add_batch([f"af{i}" for i in range(na)], abase)
+        _ = hfull.search(hq_a, 10)              # warm the chunk compiles
+        t0 = time.time()
+        hd_f, hr_f = hfull.search(hq_a, 10)
+        extras["aniso_host_full_qps"] = round(1024 / (time.time() - t0), 1)
+        extras["aniso_host_full_recall_at_10"] = round(float(np.mean([
+            len(set(map(int, hr_f[b, :10])) & set(map(int, agt[b]))) / 10
+            for b in range(1024)])), 4)
+        del hfull
+        hproj = HostArenaIndex(384, dist.COSINE, proj_dim=32,
+                               proj_rerank=128)
+        hproj.add_batch([f"ap{i}" for i in range(na)], abase)
+        _ = hproj.search(hq_a, 10)              # warm + fit the basis
+        reps_h = 3
+        t0 = time.time()
+        for _j in range(reps_h):
+            hd_p, hr_p = hproj.search(hq_a, 10)
+        extras["aniso_host_proj32_qps"] = round(
+            reps_h * 1024 / (time.time() - t0), 1)
+        extras["aniso_host_proj32_recall_at_10"] = round(float(np.mean([
+            len(set(map(int, hr_p[b, :10])) & set(map(int, agt[b]))) / 10
+            for b in range(1024)])), 4)
+        del hproj
         mark("aniso_proj")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
