@@ -757,6 +757,23 @@ def main() -> None:
             ran_q += len(win)
         extras["hybrid_qps"] = round(ran_q / (time.time() - t0), 1)
 
+        # hybrid WITH a metadata filter folded in (BASELINE.json config 4:
+        # "HNSW + BM25 keyword fusion with metadata filters")
+        _ = eng.search("bench", queries[:256], k=10,
+                       text_query="tok7 tok42", alpha=0.5,
+                       filter="grp = 7", decay=False)
+        t0 = time.time()
+        ran_q = 0
+        for j in range(4):
+            at = (j * 256) % max(len(queries) - 256, 1)
+            win = queries[at:at + 256]
+            _ = eng.search("bench", win, k=10,
+                           text_query="tok7 tok42", alpha=0.5,
+                           filter="grp = 7", decay=False)
+            ran_q += len(win)
+        extras["hybrid_filtered_qps"] = round(
+            ran_q / (time.time() - t0), 1)
+
         # graph-restricted: allow set = 2-hop neighborhood of a root node
         rng_g = np.random.default_rng(5)
         for i in range(2000):

@@ -80,7 +80,10 @@ class HashingEmbedder(_Base):
 
 
 class MiniLMEmbedder(_Base):
-    """JAX MiniLM sentence encoder on the TPU (services/minilm.py).
+    """JAX BERT-family sentence encoder on the TPU (services/minilm.py):
+    all-MiniLM-*, bge-small/base (CLS pooling, auto-detected), gte/e5
+    (mean pooling) — any BERT-architecture sentence-transformers
+    checkpoint.
 
     Weight resolution order: explicit weights_dir → kektordb model cache
     (services/download.py, torch-free safetensors load) → HF hub local
@@ -90,7 +93,8 @@ class MiniLMEmbedder(_Base):
 
     def __init__(self,
                  model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
-                 weights_dir: Optional[str] = None):
+                 weights_dir: Optional[str] = None,
+                 pooling: Optional[str] = None):
         from . import download
         from .minilm import MiniLMEncoder
         if weights_dir is None:
@@ -98,7 +102,8 @@ class MiniLMEmbedder(_Base):
         if weights_dir is None \
                 and os.environ.get("KEKTOR_ALLOW_DOWNLOAD") == "1":
             weights_dir = download.fetch_model(model_name)
-        self._enc = MiniLMEncoder(model_name, weights_dir=weights_dir)
+        self._enc = MiniLMEncoder(model_name, weights_dir=weights_dir,
+                                  pooling=pooling)
         self.dim = self._enc.dim
 
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
@@ -156,6 +161,59 @@ class OllamaEmbedder(HTTPEmbedder):
         return arr
 
 
+class GeminiEmbedder(_Base):
+    """Google embedContent provider (embeddings/gemini.go:16-127):
+    x-goog-api-key auth, `{"content":{"parts":[{"text":...}]}}` payload,
+    `{"embedding":{"values":[...]}}` response; key falls back to
+    GEMINI_API_KEY then GOOGLE_API_KEY like the reference."""
+
+    name = "gemini"
+
+    def __init__(self, base_url: str = "", model: str = "",
+                 api_key: Optional[str] = None, dim: int = DEFAULT_DIM):
+        self.model = model or "gemini-embedding-001"
+        resource = self._resource(self.model)
+        self.base_url = (base_url.rstrip("/") or
+                         "https://generativelanguage.googleapis.com/"
+                         f"v1beta/{resource}:embedContent")
+        self.api_key = api_key
+        self.dim = dim
+
+    @staticmethod
+    def _resource(model: str) -> str:
+        model = model.strip().lstrip("/")
+        return model if model.startswith("models/") else f"models/{model}"
+
+    def _key(self) -> str:
+        return (self.api_key or os.environ.get("GEMINI_API_KEY")
+                or os.environ.get("GOOGLE_API_KEY") or "")
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        import requests
+        headers = {"Content-Type": "application/json"}
+        if self._key():
+            headers["x-goog-api-key"] = self._key()
+        out = []
+        for t in texts:     # embedContent is single-text (gemini.go:44-57)
+            r = requests.post(
+                self.base_url, headers=headers, timeout=60,
+                json={"model": self._resource(self.model),
+                      "content": {"parts": [{"text": t}]}})
+            r.raise_for_status()
+            body = r.json()
+            if body.get("error"):
+                raise RuntimeError(
+                    f"gemini embedder provider error: "
+                    f"{body['error'].get('message')}")
+            vals = body.get("embedding", {}).get("values") or []
+            if not vals:
+                raise RuntimeError("gemini embedder returned no values")
+            out.append(vals)
+        arr = np.asarray(out, np.float32)
+        self.dim = arr.shape[1]
+        return arr
+
+
 def select_embedder(provider: str = "auto", **kw) -> _Base:
     """SelectEmbedder factory (select.go:92-206). `auto` probes local model
     availability and falls back to hashing (the reference probes Ollama and
@@ -168,6 +226,8 @@ def select_embedder(provider: str = "auto", **kw) -> _Base:
         return HTTPEmbedder(**kw)
     if provider == "ollama":
         return OllamaEmbedder(**kw)
+    if provider == "gemini":
+        return GeminiEmbedder(**kw)
     if provider == "auto":
         if os.environ.get("KEKTOR_EMBEDDER_URL"):
             return HTTPEmbedder(os.environ["KEKTOR_EMBEDDER_URL"],

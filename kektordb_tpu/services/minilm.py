@@ -1,12 +1,17 @@
-"""MiniLM sentence encoder in pure JAX — the on-TPU local embedder.
+"""BERT-family sentence encoder in pure JAX — the on-TPU local embedder.
 
 Replaces the reference's Rust Candle ONNX embedder
 (native/compute/src/embedder.rs:34-174: all-MiniLM-L6-v2, 384-d,
-mean-pooled). Weights are pulled from a locally-cached HuggingFace
-checkpoint (zero-egress safe: `local_files_only=True`; without a cache the
-factory falls back to the hashing embedder) and converted to JAX arrays;
-the forward pass is a jitted, batched BERT encoder that runs on the TPU —
-no ONNX runtime, no torch in the hot path.
+mean-pooled), generalized to any BERT-architecture sentence-transformers
+checkpoint (all-MiniLM-*, bge-small/base, gte-small/base, e5-small/base,
+paraphrase-*): layer count / head count / width come from config.json,
+pooling mode (mean vs CLS) from the sentence-transformers
+1_Pooling/config.json when present. Weights are pulled from a
+locally-cached HuggingFace checkpoint (zero-egress safe:
+`local_files_only=True`; without a cache the factory falls back to the
+hashing embedder) and converted to JAX arrays; the forward pass is a
+jitted, batched BERT encoder that runs on the TPU — no ONNX runtime, no
+torch in the hot path.
 """
 
 from __future__ import annotations
@@ -24,13 +29,19 @@ class MiniLMEncoder:
 
     def __init__(self,
                  model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
-                 weights_dir: str | None = None):
+                 weights_dir: str | None = None,
+                 pooling: str | None = None):
         """weights_dir: a directory with {model.safetensors, config.json,
         tokenizer.json} (the output of services.download.fetch_model) —
         loaded torch-free via safetensors+tokenizers. Without it, falls back
-        to a locally-cached HF checkpoint (zero-egress safe)."""
+        to a locally-cached HF checkpoint (zero-egress safe).
+
+        pooling: "mean" (MiniLM/e5/gte) or "cls" (bge); None auto-detects
+        from the checkpoint's sentence-transformers 1_Pooling/config.json
+        and defaults to "mean"."""
         self.model_name = model_name
         self.weights_dir = weights_dir
+        self.pooling = pooling
         self._load()
 
     def _load(self) -> None:
@@ -38,8 +49,13 @@ class MiniLMEncoder:
             self._load_from_dir(self.weights_dir)
         else:
             self._load_from_hf_cache()
+        if self.pooling is None:
+            self.pooling = "mean"
+        if self.pooling not in ("mean", "cls"):
+            raise ValueError(f"unknown pooling {self.pooling!r}")
         self._fwd = jax.jit(functools.partial(
-            _bert_forward, n_layers=self.n_layers, n_heads=self.n_heads))
+            _bert_forward, n_layers=self.n_layers, n_heads=self.n_heads,
+            pooling=self.pooling))
 
     def _load_from_dir(self, d: str) -> None:
         """Torch-free load path: safetensors weights + tokenizers tokenizer
@@ -52,6 +68,17 @@ class MiniLMEncoder:
 
         with open(os.path.join(d, "config.json")) as f:
             cfg = json.load(f)
+        if self.pooling is None:
+            # sentence-transformers checkpoints record the pooling head in
+            # 1_Pooling/config.json (bge = CLS, MiniLM/e5/gte = mean)
+            pool_cfg = os.path.join(d, "1_Pooling", "config.json")
+            if os.path.exists(pool_cfg):
+                with open(pool_cfg) as f:
+                    pc = json.load(f)
+                if pc.get("pooling_mode_cls_token"):
+                    self.pooling = "cls"
+                elif pc.get("pooling_mode_mean_tokens"):
+                    self.pooling = "mean"
         raw = st_np.load_file(os.path.join(d, "model.safetensors"))
         self.params = {k: jnp.asarray(v) for k, v in raw.items()}
         tk = Tokenizer.from_file(os.path.join(d, "tokenizer.json"))
@@ -82,13 +109,17 @@ class MiniLMEncoder:
 
     @classmethod
     def from_params(cls, params: dict, tokenize_fn, *, n_layers: int,
-                    n_heads: int, dim: int) -> "MiniLMEncoder":
+                    n_heads: int, dim: int,
+                    pooling: str = "mean") -> "MiniLMEncoder":
         """Build from explicit params + tokenizer callable (tests /
         programmatic weights). tokenize_fn(texts) must return
         (input_ids [B,T] int32, attention_mask [B,T] f32)."""
+        if pooling not in ("mean", "cls"):
+            raise ValueError(f"unknown pooling {pooling!r}")
         self = cls.__new__(cls)
         self.model_name = "custom"
         self.weights_dir = None
+        self.pooling = pooling
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self._hf_tokenizer = None
         self._tk = None
@@ -97,7 +128,8 @@ class MiniLMEncoder:
         self.n_heads = n_heads
         self.dim = dim
         self._fwd = jax.jit(functools.partial(
-            _bert_forward, n_layers=n_layers, n_heads=n_heads))
+            _bert_forward, n_layers=n_layers, n_heads=n_heads,
+            pooling=pooling))
         return self
 
     @staticmethod
@@ -182,8 +214,9 @@ def _layer_norm(x, w, b, eps=1e-12):
 
 
 def _bert_forward(p: dict[str, Any], ids: jax.Array, mask: jax.Array,
-                  *, n_layers: int, n_heads: int) -> jax.Array:
-    """[B, T] ids → [B, dim] mean-pooled L2-normalized embeddings."""
+                  *, n_layers: int, n_heads: int,
+                  pooling: str = "mean") -> jax.Array:
+    """[B, T] ids → [B, dim] pooled L2-normalized embeddings."""
     B, T = ids.shape
     emb = (p["embeddings.word_embeddings.weight"][ids]
            + p["embeddings.position_embeddings.weight"][jnp.arange(T)][None]
@@ -217,8 +250,12 @@ def _bert_forward(p: dict[str, Any], ids: jax.Array, mask: jax.Array,
         x = _layer_norm(x + ffn, p[pre + "output.LayerNorm.weight"],
                         p[pre + "output.LayerNorm.bias"])
 
-    # mean pooling over attention mask + L2 normalize (embedder.rs:34-174)
-    m = mask[:, :, None]
-    pooled = (x * m).sum(1) / jnp.maximum(m.sum(1), 1e-9)
+    # pooling + L2 normalize: mean over the attention mask (MiniLM/e5/gte,
+    # embedder.rs:34-174) or the [CLS] token (bge family)
+    if pooling == "cls":
+        pooled = x[:, 0]
+    else:
+        m = mask[:, :, None]
+        pooled = (x * m).sum(1) / jnp.maximum(m.sum(1), 1e-9)
     return pooled / jnp.maximum(
         jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)

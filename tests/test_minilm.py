@@ -125,6 +125,116 @@ class TestWeightsDirLoad:
             b"kektordb").hexdigest()
 
 
+class TestPooling:
+    def test_cls_pooling_differs_and_is_normalized(self, enc):
+        """bge-style CLS pooling: same weights, different pooled vector."""
+        p = {k: np.asarray(v) for k, v in enc.params.items()}
+        ecls = MiniLMEncoder.from_params(p, _stub_tokenizer(), n_layers=6,
+                                         n_heads=12, dim=384, pooling="cls")
+        a = enc.encode(["the quick brown fox"])
+        b = ecls.encode(["the quick brown fox"])
+        np.testing.assert_allclose(np.linalg.norm(b, axis=1), 1.0,
+                                   rtol=1e-4)
+        assert float(np.abs(a - b).max()) > 1e-4
+
+    def test_cls_ignores_mask_tail(self, enc):
+        """CLS pooling reads position 0 only: masked tail garbage is
+        inert (attention bias blocks it)."""
+        p = {k: np.asarray(v) for k, v in enc.params.items()}
+        ecls = MiniLMEncoder.from_params(p, _stub_tokenizer(), n_layers=6,
+                                         n_heads=12, dim=384, pooling="cls")
+        ids, mask = _stub_tokenizer()(["short text"])
+        out1 = np.asarray(ecls._fwd(ecls.params, ids, mask))
+        ids2 = ids.copy()
+        ids2[0, int(mask.sum()):] = 9
+        out2 = np.asarray(ecls._fwd(ecls.params, ids2, mask))
+        np.testing.assert_allclose(out1, out2, atol=1e-5)
+
+    def test_bad_pooling_rejected(self, enc):
+        with pytest.raises(ValueError):
+            MiniLMEncoder.from_params(
+                {k: np.asarray(v) for k, v in enc.params.items()},
+                _stub_tokenizer(), n_layers=6, n_heads=12, dim=384,
+                pooling="max")
+
+    def test_pooling_autodetect_from_st_config(self, tmp_path, enc):
+        """sentence-transformers 1_Pooling/config.json drives the mode
+        (bge ships pooling_mode_cls_token=true)."""
+        from safetensors import numpy as st_np
+        from tokenizers import Tokenizer, models, pre_tokenizers
+        d = str(tmp_path)
+        st_np.save_file({k: np.asarray(v) for k, v in enc.params.items()},
+                        os.path.join(d, "model.safetensors"))
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump({"num_hidden_layers": 6, "num_attention_heads": 12,
+                       "hidden_size": 384}, f)
+        vocab = {"[UNK]": 0, "hello": 1}
+        tk = Tokenizer(models.WordLevel(vocab, unk_token="[UNK]"))
+        tk.pre_tokenizer = pre_tokenizers.Whitespace()
+        tk.save(os.path.join(d, "tokenizer.json"))
+        os.mkdir(os.path.join(d, "1_Pooling"))
+        with open(os.path.join(d, "1_Pooling", "config.json"), "w") as f:
+            json.dump({"pooling_mode_cls_token": True,
+                       "pooling_mode_mean_tokens": False}, f)
+        e2 = MiniLMEncoder("custom", weights_dir=d)
+        assert e2.pooling == "cls"
+        e3 = MiniLMEncoder("custom", weights_dir=d, pooling="mean")
+        assert e3.pooling == "mean"   # explicit arg wins
+
+
+class TestGemini:
+    def test_contract(self, monkeypatch):
+        """embedContent payload/response contract (gemini.go:44-103)."""
+        from kektordb_tpu.services.embeddings import GeminiEmbedder
+        calls = []
+
+        class _Resp:
+            status_code = 200
+            def raise_for_status(self):
+                pass
+            def json(self):
+                return {"embedding": {"values": [0.6, 0.8]}}
+
+        def fake_post(url, headers=None, timeout=None, json=None):
+            calls.append((url, headers, json))
+            return _Resp()
+
+        import requests
+        monkeypatch.setattr(requests, "post", fake_post)
+        monkeypatch.setenv("GEMINI_API_KEY", "k123")
+        e = GeminiEmbedder()
+        v = e.embed("ciao")
+        assert v.shape == (2,) and e.dim == 2
+        url, headers, body = calls[0]
+        assert url.endswith("models/gemini-embedding-001:embedContent")
+        assert headers["x-goog-api-key"] == "k123"
+        assert body["content"]["parts"] == [{"text": "ciao"}]
+        assert body["model"] == "models/gemini-embedding-001"
+
+    def test_error_surfaced(self, monkeypatch):
+        from kektordb_tpu.services.embeddings import GeminiEmbedder
+
+        class _Resp:
+            status_code = 200
+            def raise_for_status(self):
+                pass
+            def json(self):
+                return {"error": {"message": "quota"}}
+
+        import requests
+        monkeypatch.setattr(requests, "post",
+                            lambda *a, **k: _Resp())
+        e = GeminiEmbedder(api_key="k")
+        with pytest.raises(RuntimeError, match="quota"):
+            e.embed("x")
+
+    def test_factory_route(self):
+        from kektordb_tpu.services.embeddings import (GeminiEmbedder,
+                                                      select_embedder)
+        assert isinstance(select_embedder("gemini", api_key="k"),
+                          GeminiEmbedder)
+
+
 class TestFactory:
     def test_auto_falls_back_to_hashing(self, monkeypatch):
         from kektordb_tpu.services.embeddings import select_embedder
