@@ -165,15 +165,16 @@ export class KektorDBClient {
     return new Task(this, out.task_id);
   }
 
+  /** queryVector=null with opts.textQuery runs a text-only (BM25) search. */
   vsearch(
     indexName: string,
-    queryVector: number[],
+    queryVector: number[] | null,
     k = 10,
     opts: SearchOptions = {},
   ): Promise<{ results: SearchHit[]; ids: string[] }> {
     return this.post("/vector/actions/search", {
       index_name: indexName,
-      query_vector: queryVector,
+      query_vector: queryVector ?? undefined,
       k,
       filter: opts.filter,
       text_query: opts.textQuery,

@@ -161,18 +161,22 @@ class KektorDBClient:
                          {"index_name": index_name})
         return Task(self, out["task_id"])
 
-    def vsearch(self, index_name: str, query_vector: Sequence[float],
+    def vsearch(self, index_name: str,
+                query_vector: Optional[Sequence[float]] = None,
                 k: int = 10, *, filter: Optional[str] = None,
                 text_query: Optional[str] = None, alpha: float = 0.5,
                 ef_search: Optional[int] = None,
                 graph_filter: Optional[dict] = None,
                 hydrate: bool = False,
                 hydrate_relations: bool = False) -> dict:
+        """query_vector=None with text_query set runs a text-only (BM25)
+        search — the reference's searchWithFusion text-only path."""
         body: dict[str, Any] = {
             "index_name": index_name, "k": k,
-            "query_vector": list(map(float, query_vector)),
             "alpha": alpha, "hydrate": hydrate,
             "hydrate_relations": hydrate_relations}
+        if query_vector is not None:
+            body["query_vector"] = list(map(float, query_vector))
         if filter:
             body["filter"] = filter
         if text_query:

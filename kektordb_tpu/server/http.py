@@ -466,8 +466,15 @@ def make_app(engine: Engine, *,
         qv = b.get("query_vector")
         if not qv and b.get("query_text") and embedder is not None:
             qv = await asyncio.to_thread(embedder.embed, b["query_text"])
+        if qv is None and b.get("text_query"):
+            # text-only search (reference ops.go:896 text-only path): a
+            # zero query vector makes the engine skip the vector branch
+            # and rank by BM25 alone
+            h = engine._handle(name)
+            qv = [0.0] * int(h.index.dim or 1)
         if qv is None:
-            raise ValueError("query_vector or query_text required")
+            raise ValueError(
+                "query_vector, query_text, or text_query required")
         gf = b.get("graph_filter") or {}
         batchable = not (b.get("hydrate_relations")
                          or b.get("include_relations"))

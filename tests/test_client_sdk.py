@@ -52,6 +52,19 @@ def test_vector_lifecycle(db):
     assert all(h["id"] != "a3" for hits in rb for h in hits)
 
 
+def test_text_only_vsearch(db):
+    db.vcreate("sdk_txt", metric="euclidean", m=8)
+    rng = np.random.default_rng(1)
+    db.vadd_batch("sdk_txt", [
+        {"id": f"t{i}",
+         "vector": rng.normal(size=4).tolist(),
+         "metadata": {"body": "solar panel array" if i < 3 else "deep sea",
+                      "_indexed_fields": ["body"]}}
+        for i in range(6)])
+    out = db.vsearch("sdk_txt", text_query="solar array", k=4)
+    assert out["ids"] and all(i in ("t0", "t1", "t2") for i in out["ids"])
+
+
 def test_graph_and_evolve(db):
     db.vcreate("sdkg", metric="euclidean")
     for i in range(3):

@@ -449,6 +449,80 @@ def test_web_ui_pages_served(srv):
     assert len(spec["paths"]) >= 50
 
 
+def test_text_only_search_over_http(srv):
+    """A request with only text_query (no query_vector/query_text) is a
+    valid text-only search — the reference's searchWithFusion text-only
+    path (ops.go:896). Ranking is pure BM25."""
+    requests.post(srv.base + "/vector/indexes",
+                  json={"name": "txtonly", "dim": 4})
+    items = []
+    for i in range(12):
+        items.append({
+            "id": f"t{i}",
+            "vector": list(np.random.default_rng(i).random(4)),
+            "metadata": {
+                "body": ("espresso roast coffee" if i % 3 == 0
+                         else "orbital mechanics handbook"),
+                "_indexed_fields": ["body"]}})
+    r = requests.post(srv.base + "/vector/actions/add-batch",
+                      json={"index_name": "txtonly", "vectors": items})
+    assert r.status_code == 200
+    r = requests.post(srv.base + "/vector/actions/search",
+                      json={"index_name": "txtonly",
+                            "text_query": "espresso coffee", "k": 5})
+    assert r.status_code == 200, r.text
+    res = r.json()["results"]
+    assert res, "text-only search returned nothing"
+    assert all(int(h["id"][1:]) % 3 == 0 for h in res), res
+    # no text match -> empty results, still 200
+    r = requests.post(srv.base + "/vector/actions/search",
+                      json={"index_name": "txtonly",
+                            "text_query": "zebra", "k": 5})
+    assert r.status_code == 200 and r.json()["results"] == []
+
+
+def test_ui_api_contract(srv):
+    """Every field the dashboard JS (ui/index.html) dereferences must be
+    present in the live responses — the browser-level wiring check this
+    environment can run (no browser binary in the image)."""
+    requests.post(srv.base + "/vector/indexes",
+                  json={"name": "uic", "dim": 4})
+    requests.post(srv.base + "/vector/actions/add",
+                  json={"index_name": "uic", "id": "a",
+                        "vector": [0.1, 0.2, 0.3, 0.4],
+                        "metadata": {"content": "hello"}})
+    requests.post(srv.base + "/vector/actions/add",
+                  json={"index_name": "uic", "id": "b",
+                        "vector": [0.4, 0.3, 0.2, 0.1]})
+    requests.post(srv.base + "/graph/actions/link",
+                  json={"index_name": "uic", "source_id": "a",
+                        "relation_type": "rel", "target_id": "b"})
+    # overview tab: /system/stats fields
+    st = requests.get(srv.base + "/system/stats").json()
+    for key in ("indexes", "graph_nodes", "kv_keys"):
+        assert key in st, key
+    info = st["indexes"]["uic"]
+    for key in ("size", "deleted", "metric", "precision", "serve_mode"):
+        assert key in info, key
+    # search tab: hit fields {id, score, distance, metadata}
+    out = requests.post(
+        srv.base + "/vector/actions/search",
+        json={"index_name": "uic", "query_vector": [0.1, 0.2, 0.3, 0.4],
+              "k": 2, "hydrate": True}).json()
+    hit = out["results"][0]
+    for key in ("id", "score", "distance", "metadata"):
+        assert key in hit, key
+    # graph tab: extract-subgraph {nodes: [str], edges: [{source, target,
+    # relation, weight}]}
+    sg = requests.post(
+        srv.base + "/graph/actions/extract-subgraph",
+        json={"index_name": "uic", "root_id": "a", "max_depth": 2}).json()
+    assert "a" in sg["nodes"] and "b" in sg["nodes"]
+    edge = sg["edges"][0]
+    for key in ("source", "target", "relation", "weight"):
+        assert key in edge, key
+
+
 def test_concurrent_mixed_clients_over_http(srv):
     """Multi-client mixed load through real sockets: batched/columnar/b64
     searches racing adds, deletes, and metadata updates. The server must
