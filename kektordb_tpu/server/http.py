@@ -400,6 +400,8 @@ def make_app(engine: Engine, *,
         return _json({"status": "started", "task_id": t.id}, 202)
 
     async def vector_search(request):
+        """Search: query_vector | query_text (embedded) | text_query alone
+        (text-only BM25); batched via query_vectors/query_vectors_b64."""
         b = await body_of(request)
         name = b["index_name"]
         qvs = b.get("query_vectors")
