@@ -239,6 +239,8 @@ class Engine:
                   for k in ("chunk_rows", "proj_dim", "proj_rerank")
                   if hasattr(idx, k)},
             "memory": asdict(h.memory),
+            "memory_report": idx.memory_report()
+            if hasattr(idx, "memory_report") else {},
             "text": h.meta.text.stats(),
         }
 

@@ -238,6 +238,19 @@ class HNSWIndex:
     def deleted_count(self) -> int:
         return len(self._deleted_rows)
 
+    def memory_report(self) -> dict:
+        """Device-memory accounting: HBM bytes held by the index state
+        (arena + adjacency + masks), capacity and occupancy. The mmap
+        analog of the reference's arena stats (arena.go:33-37); on a
+        sharded index this is the per-chip figure behind the 'capacity
+        scales linearly with chip count' claim (SURVEY §5)."""
+        return {
+            "device_bytes": int(sum(
+                getattr(x, "nbytes", 0) for x in self.state)),
+            "capacity_rows": int(self._cap),
+            "rows_used": len(self.ids),
+        }
+
     # -- encoding ----------------------------------------------------------
 
     def _ensure_quantizer(self, v32: jnp.ndarray) -> None:

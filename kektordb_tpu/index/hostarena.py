@@ -101,6 +101,22 @@ class HostArenaIndex:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def memory_report(self) -> dict:
+        """Host-RAM accounting (the arena lives on host; only one
+        chunk_rows-sized slice is device-resident during a sweep)."""
+        host = int(self._vectors.nbytes + self._norms.nbytes
+                   + self._valid.nbytes + self._proj_norms.nbytes
+                   + (self._proj_vecs.nbytes
+                      if self._proj_vecs is not None else 0))
+        return {
+            "host_bytes": host,
+            "device_bytes": int(
+                min(self.chunk_rows, self._cap)
+                * self.dim * self._store_dtype.itemsize),
+            "capacity_rows": int(self._cap),
+            "rows_used": len(self.ids),
+        }
+
     # -- mutation ----------------------------------------------------------
 
     def _grow_to(self, need: int) -> None:

@@ -117,6 +117,20 @@ class ShardedHNSW:
     def deleted_count(self) -> int:
         return sum(s.deleted_count for s in self.shards)
 
+    def memory_report(self) -> dict:
+        """Per-chip HBM accounting. Each shard holds ~1/S of the arena on
+        its own device, so max index size scales linearly with chip count
+        (SURVEY §5 'long context' equivalent) — per_shard_bytes is the
+        evidence: every entry is the full state footprint of one device."""
+        per = [s.memory_report() for s in self.shards]
+        return {
+            "shards": self.n_shards,
+            "per_shard_bytes": [p["device_bytes"] for p in per],
+            "device_bytes": int(sum(p["device_bytes"] for p in per)),
+            "capacity_rows": int(sum(p["capacity_rows"] for p in per)),
+            "rows_used": len(self.ids),
+        }
+
     @property
     def _cap(self) -> int:
         """Global-row (gid) capacity — engine allow-masks size to this."""

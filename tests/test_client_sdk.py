@@ -42,6 +42,8 @@ def test_vector_lifecycle(db):
     db.vreinforce("sdk", ["a3"])
     info = db.index_info("sdk")
     assert info["vector_count"] == 30
+    rep = info["memory_report"]
+    assert rep["rows_used"] == 30 and rep["device_bytes"] > 0
     exp = db.export_vectors("sdk", limit=5)
     assert len(exp["vectors"]) == 5
     db.vdel("sdk", "a9")

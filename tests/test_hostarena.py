@@ -35,6 +35,10 @@ class TestHostArena:
         # same rows (both allocate rows in insertion order)
         assert (r == orr).mean() > 0.999
         np.testing.assert_allclose(d, od, rtol=1e-4, atol=1e-3)
+        rep = idx.memory_report()
+        assert rep["host_bytes"] >= idx._vectors.nbytes
+        assert rep["device_bytes"] < rep["host_bytes"]  # chunk-resident only
+        assert rep["rows_used"] == len(X)
 
     def test_multi_chunk_coverage(self):
         """Top hit in every chunk of the arena is found."""

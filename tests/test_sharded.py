@@ -262,6 +262,12 @@ def test_capacity_scales_linearly_with_devices(sharded):
     for s, dev in zip(sh.shards, sh.mesh.devices.flat):
         assert s.state.vectors.nbytes == total // sh.n_shards
         assert s.state.vectors.devices() == {dev}
+    # the operator-facing accounting agrees: S equal per-chip footprints
+    rep = sh.memory_report()
+    assert rep["shards"] == sh.n_shards
+    assert len(set(rep["per_shard_bytes"])) == 1
+    assert rep["device_bytes"] == sum(rep["per_shard_bytes"])
+    assert rep["rows_used"] == n and rep["capacity_rows"] >= n
 
 
 def test_sharded_checkpoint_degrades_on_smaller_host(tmp_path):
