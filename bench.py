@@ -129,7 +129,8 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> dict:
             t0 = time.time()
             outs = await asyncio.gather(*[post(b) for b in b64req])
             out["http_b64_qps"] = n2 * B2 / (time.time() - t0)
-            assert all(o.get("shape") == [B2, 10] and len(o["ids"]) == B2
+            assert all(o.get("shape") == [B2, 10] and
+                       ("ids_b64" in o or len(o["ids"]) == B2)
                        for o in outs)
         await runner.cleanup()
         return out

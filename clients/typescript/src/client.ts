@@ -264,8 +264,20 @@ export class KektorDBClient {
         for (let i = 0; i < s.length; i++) u[i] = s.charCodeAt(i);
         return new Float32Array(u.buffer);
       };
+      // ids ride the binary wire as one newline-joined UTF-8 blob
+      // (server falls back to a JSON array for ids embedding a newline)
+      let ids = out.ids;
+      if (out.ids_b64) {
+        const flat = new TextDecoder()
+          .decode(Uint8Array.from(atob(out.ids_b64), (c) => c.charCodeAt(0)))
+          .split("\n");
+        const kk = out.shape[1];
+        ids = Array.from({ length: out.shape[0] }, (_, i) =>
+          flat.slice(i * kk, (i + 1) * kk),
+        );
+      }
       return {
-        ids: out.ids,
+        ids,
         scores: dec(out.scores_b64),
         distances: dec(out.distances_b64),
         shape: out.shape,

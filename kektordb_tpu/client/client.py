@@ -237,7 +237,17 @@ class KektorDBClient:
 
             import numpy as _np
             shape = out["shape"]
-            out = {"ids": out["ids"],
+            if "ids_b64" in out:
+                # ids ride the binary wire as one newline-joined UTF-8
+                # blob (server falls back to a JSON array for ids that
+                # embed a newline)
+                flat = base64.b64decode(
+                    out["ids_b64"]).decode("utf-8").split("\n")
+                k = shape[1]
+                ids = [flat[i * k:(i + 1) * k] for i in range(shape[0])]
+            else:
+                ids = out["ids"]
+            out = {"ids": ids,
                    "scores": _np.frombuffer(
                        base64.b64decode(out["scores_b64"]),
                        "<f4").reshape(shape),

@@ -398,7 +398,9 @@ def test_columnar_batched_search_over_http(srv):
         "query_vectors": X[:8].tolist()})
     assert r2.status_code == 200, r2.text
     o2 = r2.json()
-    assert o2["shape"] == [8, 3] and o2["ids"] == o["ids"]
+    assert o2["shape"] == [8, 3] and "ids" not in o2
+    flat = base64.b64decode(o2["ids_b64"]).decode().split("\n")
+    assert [flat[i * 3:(i + 1) * 3] for i in range(8)] == o["ids"]
     sc = np.frombuffer(base64.b64decode(o2["scores_b64"]),
                        "<f4").reshape(8, 3)
     di = np.frombuffer(base64.b64decode(o2["distances_b64"]),
@@ -570,7 +572,8 @@ def test_concurrent_mixed_clients_over_http(srv):
                               f"{resp.text[:120]}")
                 continue
             o = resp.json()
-            ok = ("results_batch" in o) or ("ids" in o)
+            ok = ("results_batch" in o) or ("ids" in o) \
+                or ("ids_b64" in o)
             if not ok:
                 errors.append(f"unparseable search response: "
                               f"{str(o)[:120]}")
