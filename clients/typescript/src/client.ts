@@ -267,7 +267,7 @@ export class KektorDBClient {
       // ids ride the binary wire as one newline-joined UTF-8 blob
       // (server falls back to a JSON array for ids embedding a newline)
       let ids = out.ids;
-      if (out.ids_b64) {
+      if (out.ids_b64 !== undefined) {
         const flat = new TextDecoder()
           .decode(Uint8Array.from(atob(out.ids_b64), (c) => c.charCodeAt(0)))
           .split("\n");

@@ -27,6 +27,7 @@ interface Step {
   expect_first_id?: string;
   expect_ids_subset?: string[];
   expect_type?: "array" | "object";
+  expect_ids_b64_count_matches_shape?: boolean;
 }
 
 const BASE = process.env.KEKTOR_URL ?? "http://127.0.0.1:9091";
@@ -86,6 +87,15 @@ async function runStep(step: Step): Promise<string[]> {
           `${step.id}: unexpected id ${got}, allowed ${JSON.stringify(step.expect_ids_subset)}`,
         );
     }
+  }
+  if (step.expect_ids_b64_count_matches_shape) {
+    // the ids blob must decode to exactly shape[0]*shape[1] rows
+    const flat = new TextDecoder()
+      .decode(Uint8Array.from(atob(data.ids_b64 ?? ""), (c) => c.charCodeAt(0)))
+      .split("\n");
+    const want = (data.shape?.[0] ?? 0) * (data.shape?.[1] ?? 0);
+    if (flat.length !== want)
+      errs.push(`${step.id}: ids_b64 decoded ${flat.length} ids, want ${want}`);
   }
   if (step.expect_type === "array" && !Array.isArray(data))
     errs.push(`${step.id}: expected array response`);

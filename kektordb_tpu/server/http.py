@@ -466,7 +466,9 @@ def make_app(engine: Engine, *,
                         try:
                             joined = "\n".join(flat)
                             rect_ok = (flat and joined.count("\n")
-                                       == len(flat) - 1)
+                                       == len(flat) - 1
+                                       and len(flat)
+                                       == sc.shape[0] * sc.shape[1])
                         except TypeError:
                             rect_ok = False
                         if rect_ok:

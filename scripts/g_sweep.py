@@ -50,28 +50,31 @@ def main() -> None:
     print("oracle ready", flush=True)
 
     orig = scanlib.g_for
-    for G in (8, 16, 32):
-        scanlib.g_for = (lambda n, G=G: G)
-        jax.clear_caches()
+    try:
+        for G in (8, 16, 32):
+            scanlib.g_for = (lambda n, G=G: G)
+            jax.clear_caches()
 
-        def f(q):
-            return scanlib.scan_search(
-                vecs, norms, levels, deleted, None, q, qn, 32,
-                metric=dist.L2, mode="approx")
+            def f(q):
+                return scanlib.scan_search(
+                    vecs, norms, levels, deleted, None, q, qn, 32,
+                    metric=dist.L2, mode="approx")
 
-        jax.block_until_ready(f(qdev[0]))   # compile
-        jax.block_until_ready(f(qdev[1]))   # dispatch tail
-        jax.block_until_ready(f(qdev[2]))
-        t0 = time.time()
-        outs = [f(q) for q in qdev]
-        jax.block_until_ready(outs)
-        qps = NQ / (time.time() - t0)
-        got = np.asarray(outs[0][1])[:, :10]
-        rec = float(np.mean([len(set(map(int, got[b])) &
-                                 set(map(int, gt[b]))) / 10
-                             for b in range(B)]))
-        print(f"G={G:2d}  qps={qps:9.1f}  recall@10={rec:.4f}", flush=True)
-    scanlib.g_for = orig
+            jax.block_until_ready(f(qdev[0]))   # compile
+            jax.block_until_ready(f(qdev[1]))   # dispatch tail
+            jax.block_until_ready(f(qdev[2]))
+            t0 = time.time()
+            outs = [f(q) for q in qdev]
+            jax.block_until_ready(outs)
+            qps = NQ / (time.time() - t0)
+            got = np.asarray(outs[0][1])[:, :10]
+            rec = float(np.mean([len(set(map(int, got[b])) &
+                                     set(map(int, gt[b]))) / 10
+                                 for b in range(B)]))
+            print(f"G={G:2d}  qps={qps:9.1f}  recall@10={rec:.4f}",
+                  flush=True)
+    finally:
+        scanlib.g_for = orig
 
 
 if __name__ == "__main__":

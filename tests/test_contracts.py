@@ -52,6 +52,14 @@ def test_contract(step, srv):
     if "expect_contains_name" in step:
         assert any(i.get("name") == step["expect_contains_name"]
                    for i in data)
+    if step.get("expect_ids_b64_count_matches_shape"):
+        # the ids blob must decode to exactly shape[0]*shape[1] rows —
+        # this is the assertion that catches the next wire change
+        import base64
+        flat = base64.b64decode(data["ids_b64"]).decode().split("\n")
+        want = data["shape"][0] * data["shape"][1]
+        assert len(flat) == want, \
+            f"{step['id']}: ids_b64 decoded to {len(flat)} ids, want {want}"
     if "expect_first_id" in step:
         assert data["ids"][0] == step["expect_first_id"]
     if "expect_ids_subset" in step:
