@@ -16,6 +16,7 @@ import json
 import logging
 import threading
 import time
+from collections import OrderedDict
 from dataclasses import asdict, dataclass, field
 from typing import Any, Optional, Sequence
 
@@ -73,6 +74,13 @@ class IndexHandle:
         self.memory = memory or fusion.MemoryConfig()
         self.auto_links: list[AutoLinkRule] = []
         self.language = language
+        # materialized allow-mask cache: (predicate/graph key + store
+        # versions) → (np mask, device mask). The reference gets this for
+        # free from its per-(key,value) roaring bitmaps (core.go:944);
+        # here the win is bigger — a cached DEVICE mask also skips the
+        # ~50 ms/call 1M-bool host→device upload on the serving tunnel
+        # (measured, scripts/profile_hybrid.py). Bounded LRU.
+        self.mask_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 
 
 class Engine:
@@ -602,21 +610,37 @@ class Engine:
         live = idx.ids.live_mask(cap) if hasattr(idx.ids, "live_mask") \
             else np.zeros(cap, bool)
 
-        allow: Optional[np.ndarray] = None
-        if filter:
-            allow = filtlib.evaluate_mask(filter, h.meta, live)
-        if graph_root:
-            nodes = self.graph.bfs(
-                [f"{index}/{graph_root}"],
-                min(graph_depth, GRAPH_DEPTH_CLAMP),
-                relation=graph_relation, at_time=at_time)
-            gmask = np.zeros(cap, bool)
-            for nid in nodes:
-                if nid.startswith(index + "/"):
-                    r = idx.ids.get(nid.split("/", 1)[1])
-                    if r is not None and r < cap:
-                        gmask[r] = True
-            allow = gmask if allow is None else (allow & gmask)
+        allow: Optional[np.ndarray] = None      # host mask (text intersect)
+        allow_dev = None                        # device mask (scan fold-in)
+        if filter or graph_root:
+            key = (filter, graph_root, graph_depth, graph_relation, at_time,
+                   h.meta.version if filter else -1,
+                   self.graph.version if graph_root else -1,
+                   getattr(idx.ids, "version", -1), cap)
+            ent = h.mask_cache.get(key)
+            if ent is None:
+                if filter:
+                    allow = filtlib.evaluate_mask(filter, h.meta, live)
+                if graph_root:
+                    nodes = self.graph.bfs(
+                        [f"{index}/{graph_root}"],
+                        min(graph_depth, GRAPH_DEPTH_CLAMP),
+                        relation=graph_relation, at_time=at_time)
+                    gmask = np.zeros(cap, bool)
+                    for nid in nodes:
+                        if nid.startswith(index + "/"):
+                            r = idx.ids.get(nid.split("/", 1)[1])
+                            if r is not None and r < cap:
+                                gmask[r] = True
+                    allow = gmask if allow is None else (allow & gmask)
+                prep = getattr(idx, "prepare_allow", None)
+                ent = (allow, prep(allow) if prep is not None else None)
+                h.mask_cache[key] = ent
+                while len(h.mask_cache) > 32:
+                    h.mask_cache.popitem(last=False)
+            else:
+                h.mask_cache.move_to_end(key)
+            allow, allow_dev = ent
 
         text_rows = np.empty(0, np.int64)
         text_vals = np.empty(0, np.float64)
@@ -634,7 +658,9 @@ class Engine:
             fetch = max(k, (ef or 0))
             if text_query or (decay and h.memory.enabled):
                 fetch = max(fetch, 2 * k)  # headroom for re-ranking
-            d, rows_out = idx.search(q, fetch, ef=ef, allow_rows=allow)
+            d, rows_out = idx.search(
+                q, fetch, ef=ef,
+                allow_rows=allow_dev if allow_dev is not None else allow)
             d = np.asarray(d, np.float32)
             rows_out = np.asarray(rows_out, np.int64)
             if text_rows.size == 0 and not (decay and h.memory.enabled):
@@ -817,6 +843,11 @@ class Engine:
         d = np.asarray(d, np.float32)
         valid = rows_out >= 0
         dm = np.where(valid, d, np.nan)
+        # all-invalid rows (e.g. a filter that matches nothing) would make
+        # nanmin/nanmax warn on an all-NaN slice; pin them to 0 like the
+        # fused path does
+        all_nan = ~valid.any(axis=1, keepdims=True)
+        dm = np.where(all_nan, 0.0, dm)
         with np.errstate(invalid="ignore"):
             lo = np.nanmin(dm, axis=1, keepdims=True)
             hi = np.nanmax(dm, axis=1, keepdims=True)

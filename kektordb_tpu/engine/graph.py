@@ -56,6 +56,9 @@ class KnowledgeGraph:
         # node id → relation → [Edge]
         self.out: dict[str, dict[str, list[Edge]]] = {}
         self.inc: dict[str, dict[str, list[ReverseEdge]]] = {}
+        # bumped on every mutation — cache-invalidation key for derived
+        # row sets (engine graph-restriction mask cache)
+        self.version = 0
 
     # -- mutation -----------------------------------------------------------
 
@@ -64,6 +67,7 @@ class KnowledgeGraph:
                  created_at: Optional[float] = None) -> None:
         """AddEdge (core/graph.go:112): duplicate live edges are refreshed,
         not duplicated."""
+        self.version += 1
         now = created_at if created_at is not None else time.time()
         edges = self.out.setdefault(source, {}).setdefault(relation, [])
         for e in edges:
@@ -79,6 +83,7 @@ class KnowledgeGraph:
     def remove_edge(self, source: str, relation: str, target: str, *,
                     deleted_at: Optional[float] = None) -> bool:
         """Soft delete → time travel keeps history (core/graph.go:187)."""
+        self.version += 1
         now = deleted_at if deleted_at is not None else time.time()
         hit = False
         for e in self.out.get(source, {}).get(relation, []):
@@ -92,6 +97,7 @@ class KnowledgeGraph:
 
     def drop_node(self, node: str, *, deleted_at: Optional[float] = None) -> None:
         """Soft-delete every edge touching the node."""
+        self.version += 1
         now = deleted_at if deleted_at is not None else time.time()
         for rel, edges in self.out.get(node, {}).items():
             for e in edges:
@@ -111,6 +117,7 @@ class KnowledgeGraph:
     def vacuum(self, cutoff: float) -> int:
         """Physically purge soft-deleted edges older than cutoff + empty
         ghost nodes (VacuumGraph, core/graph.go:367)."""
+        self.version += 1
         purged = 0
         for node in list(self.out):
             rels = self.out[node]

@@ -236,6 +236,11 @@ class MetadataStore:
         self.numeric: dict[str, NumericColumn] = {}
         self.text = BM25Index(language)
         self.decay = DecayColumns()
+        # bumped on every mutation — cache-invalidation key for anything
+        # derived from the store (engine filter-mask cache; the roaring
+        # per-(key,value) bitmaps in the reference get this for free,
+        # core.go:944)
+        self.version = 0
 
     # -- mutation (AddMetadata populates all four, core.go:1345-1523) --------
 
@@ -267,6 +272,7 @@ class MetadataStore:
         return [tf] if isinstance(tf, str) else tf
 
     def set(self, row: int, meta: dict[str, Any]) -> None:
+        self.version += 1
         self.remove(row)
         self.direct[row] = dict(meta)
         text_fields = self._text_fields_of(meta)
@@ -282,6 +288,7 @@ class MetadataStore:
         set.update / one NumericColumn batch per group instead of per-row
         dict churn (VAddBatch per-item AddMetadata, ops.go:1384 — but
         columnar)."""
+        self.version += 1
         by_kv: dict[tuple[str, str], list[int]] = {}
         num_by_k: dict[str, tuple[list[int], list[float]]] = {}
         for row, meta in zip(rows, metas):
@@ -314,6 +321,7 @@ class MetadataStore:
         """Patch-merge: re-index only the fields the patch touches
         (the reference re-runs AddMetadata wholesale; at 1M rows the
         remove+reinsert of unchanged fields dominated VMETA cost)."""
+        self.version += 1
         old = self.direct.get(row)
         if old is None:
             self.set(row, patch)
@@ -350,6 +358,7 @@ class MetadataStore:
             self.decay.set_row(row, merged)
 
     def remove(self, row: int) -> None:
+        self.version += 1
         old = self.direct.pop(row, None)
         if old is None:
             return

@@ -24,6 +24,9 @@ class IDMap:
         self.ext_to_row: dict[str, int] = {}
         self.row_to_ext: list[str | None] = []
         self.free: list[int] = []
+        # bumped on every mapping mutation — cache-invalidation key for
+        # anything derived from the live set (engine filter-mask cache)
+        self.version = 0
         self._mask = np.zeros(1024, bool)   # live-row bitset (roaring analog)
         # object-dtype mirror of row_to_ext for vectorized fancy-index id
         # lookup on the serving path; kept fresh incrementally by
@@ -97,6 +100,7 @@ class IDMap:
         else:
             self.row_to_ext[row] = ext
         self.ext_to_row[ext] = row
+        self.version += 1
         self._mask_set(row, True)
         self._ext_cache_set(row, ext)
         return row
@@ -105,6 +109,7 @@ class IDMap:
         row = self.ext_to_row.pop(ext)
         self.row_to_ext[row] = None
         self.free.append(row)
+        self.version += 1
         self._mask_set(row, False)
         self._ext_cache_set(row, None)
         return row
@@ -114,6 +119,7 @@ class IDMap:
         still exists on device until vacuum reclaims it)."""
         row = self.ext_to_row.pop(ext)
         self.row_to_ext[row] = None
+        self.version += 1
         self._mask_set(row, False)
         self._ext_cache_set(row, None)
         return row
@@ -130,6 +136,7 @@ class IDMap:
                           len(self.ext_to_row))] = True
         self._mask = m
         self._ext_cache = None
+        self.version += 1
 
     def rows_of(self, exts: Sequence[str]) -> np.ndarray:
         return np.array([self.ext_to_row.get(e, -1) for e in exts], dtype=np.int32)

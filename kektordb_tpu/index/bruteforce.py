@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,6 +101,14 @@ class BruteForceIndex:
             v = v.astype(np.float32) * (float(self.quantizer.abs_max) / 127.0)
         return v.astype(np.float32)
 
+    def prepare_allow(self, mask: np.ndarray) -> jax.Array:
+        """Host bool mask → device [cap] bool reusable across searches
+        (engine mask cache)."""
+        a = np.asarray(mask, bool)
+        if a.size < self._cap:
+            a = np.pad(a, (0, self._cap - a.size))
+        return jnp.asarray(a[: self._cap])
+
     # -- query ---------------------------------------------------------------
 
     def search(
@@ -119,13 +128,21 @@ class BruteForceIndex:
         if self.precision == dist.INT8:
             q, qn = quant.quantize(self.quantizer, q)
         valid = self._valid
+        valid_j = None
         if allow_rows is not None:
-            a = np.asarray(allow_rows, bool)[: self._cap]
-            a = np.pad(a, (0, self._cap - a.size))
-            valid = valid & a
+            if isinstance(allow_rows, jax.Array) \
+                    and allow_rows.dtype == jnp.bool_ \
+                    and allow_rows.shape == (self._cap,):
+                # device mask (engine mask cache): AND on device, no host
+                # round-trip
+                valid_j = jnp.asarray(valid) & allow_rows
+            else:
+                a = np.asarray(allow_rows, bool)[: self._cap]
+                a = np.pad(a, (0, self._cap - a.size))
+                valid = valid & a
         d, i = dist.brute_force_topk(
             q, self._vectors, k, self.metric,
-            valid=jnp.asarray(valid),
+            valid=valid_j if valid_j is not None else jnp.asarray(valid),
             corpus_norms=self._norms if self.precision == dist.INT8 else None,
             query_norms=qn,
         )

@@ -14,6 +14,7 @@ import math
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -628,6 +629,17 @@ class HNSWIndex:
 
     # -- query path ------------------------------------------------------------
 
+    def prepare_allow(self, mask: np.ndarray):
+        """Host bool mask → device-resident [cap] bool that search()
+        accepts without any transfer. The engine's mask cache calls this
+        once per (predicate, store-version) and reuses the device array
+        across requests — per-call upload of a 1M-row mask costs ~50 ms
+        on the serving tunnel (measured, scripts/profile_hybrid.py)."""
+        a = np.asarray(mask, bool)
+        if a.size < self._cap:
+            a = np.pad(a, (0, self._cap - a.size))
+        return jax.device_put(a[: self._cap], self._device)
+
     def search(self, queries: np.ndarray, k: int, *,
                ef: Optional[int] = None,
                allow_rows: Optional[np.ndarray] = None,
@@ -643,13 +655,24 @@ class HNSWIndex:
         else:
             self.flush()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[-1] != self.dim:
+            raise ValueError(
+                f"query dim {queries.shape[-1]} != index dim {self.dim}")
         B = queries.shape[0]
         if len(self.ids) == 0 or (not use_scan and int(self.state.entry) < 0):
             return (np.full((B, k), np.inf, np.float32),
                     np.full((B, k), -1, np.int32))
         q, qn = self._encode(queries)
         allow = None
-        if allow_rows is not None:
+        if allow_rows is not None and isinstance(allow_rows, jax.Array) \
+                and allow_rows.dtype == jnp.bool_ \
+                and allow_rows.ndim == 1 and allow_rows.shape[0] == self._cap:
+            # device-resident mask (engine mask cache): use as-is. The
+            # np.asarray round-trip below would pull the mask D2H and push
+            # it back — ~100 ms per call through the serving tunnel
+            # (measured, scripts/profile_hybrid.py).
+            allow = allow_rows
+        elif allow_rows is not None:
             allow = jnp.zeros((self._cap,), bool)
             a = np.asarray(allow_rows)
             if a.dtype == bool:
@@ -759,8 +782,17 @@ class HNSWIndex:
             d = jnp.maximum(d, 0.0)
             import jax
             return jax.device_get((d[:B, :k], rows[:B, :k]))
-        kf = min(max(2 * k, 32),
-                 self._cap // scanlib.g_for(self._cap))
+        # scan fetch width: power-of-two >= max(k, 32). k=10 keeps kf=32
+        # (the flagship program, 2k-headroom against pass-A group-argmin
+        # collisions); a misaligned kf is strictly worse than the next
+        # power of two (measured at 1M x 128: kf=40 is slower than BOTH
+        # kf=32 and kf=64, scripts/profile_hybrid2.py) — so the engine's
+        # hybrid 2k over-fetch (k=20) now rides the kf=32 program instead
+        # of compiling a 30% slower kf=40 variant.
+        kf = 32
+        while kf < k:
+            kf *= 2
+        kf = min(kf, self._cap // scanlib.g_for(self._cap))
         d, rows = scanlib.scan_search(
             self.state.vectors, self.state.norms, self.state.levels,
             self.state.deleted, allow, q,

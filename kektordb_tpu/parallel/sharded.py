@@ -267,6 +267,11 @@ class ShardedHNSW:
         self._rev_dirty = False
         return self._rev_dev
 
+    def prepare_allow(self, mask: np.ndarray) -> jax.Array:
+        """Host bool mask over gids → replicated device [G] bool reusable
+        across searches (engine mask cache)."""
+        return self._allow_global(mask)
+
     def _allow_global(self, allow_rows: np.ndarray) -> jax.Array:
         """Global allow (bool [G] over gids, or gid list) → replicated
         device bool [G]; per-shard masks are derived INSIDE the SPMD
@@ -561,8 +566,12 @@ class ShardedHNSW:
         allow_j = None
         rev = None
         if allow_rows is not None:
-            allow_j = self._allow_global(allow_rows)   # [G] bool replicated
-            rev = self._get_rev_dev()                  # [S, cap] sharded
+            if isinstance(allow_rows, jax.Array) \
+                    and allow_rows.dtype == jnp.bool_:
+                allow_j = allow_rows       # prepared via prepare_allow()
+            else:
+                allow_j = self._allow_global(allow_rows)  # [G] replicated
+            rev = self._get_rev_dev()                     # [S, cap] sharded
 
         if use_scan:
             min_b = 32 if stacked.vectors.dtype == jnp.int8 else 16

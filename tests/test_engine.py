@@ -172,6 +172,51 @@ class TestGraph:
         before = e.get_edges("g", "x", at_time=t0 - 5)
         assert before == []
 
+    def test_mask_cache_reuse_and_invalidation(self):
+        """The materialized allow-mask cache (engine.py IndexHandle.mask_cache)
+        must be HIT on repeated predicates and INVALIDATED by metadata
+        writes, graph writes, and id-map churn (reference analog: roaring
+        per-(key,value) bitmaps, core.go:944 — always-fresh by construction)."""
+        e = mk()
+        e.create_index("idx")
+        X = vecs(40, 8, seed=9)
+        metas = [{"color": "red" if i % 2 else "blue"} for i in range(40)]
+        e.add_batch("idx", [f"v{i}" for i in range(40)], X, metas)
+        h = e._handle("idx")
+
+        e.search("idx", X[0], k=5, filter="color = red")
+        assert len(h.mask_cache) == 1
+        ent0 = next(iter(h.mask_cache.values()))
+        e.search("idx", X[1], k=5, filter="color = red")
+        assert len(h.mask_cache) == 1          # same predicate → cache hit
+        assert next(iter(h.mask_cache.values())) is ent0
+
+        # metadata write invalidates: v1 flips red→blue and must disappear
+        # from the filtered results even though the old mask allowed it
+        e.update_metadata("idx", "v1", {"color": "blue"})
+        hits = e.search("idx", X[1], k=40, filter="color = red")
+        ids = {hh["id"] for hh in hits[0]}
+        assert "v1" not in ids and len(h.mask_cache) == 2
+
+        # id-map churn invalidates: deleting a matching row drops it
+        e.delete("idx", "v3")
+        hits = e.search("idx", X[3], k=40, filter="color = red")
+        assert "v3" not in {hh["id"] for hh in hits[0]}
+
+        # graph write invalidates: a new edge widens the restriction set
+        e.link("idx", "v0", "rel", "v2")
+        hits = e.search("idx", X[2], k=10, graph_root="v0", graph_depth=1)
+        ids = {hh["id"] for hh in hits[0]}
+        assert ids == {"v0", "v2"}
+        e.link("idx", "v0", "rel", "v4")
+        hits = e.search("idx", X[2], k=10, graph_root="v0", graph_depth=1)
+        assert {hh["id"] for hh in hits[0]} == {"v0", "v2", "v4"}
+
+        # bounded: the LRU never exceeds 32 entries
+        for i in range(40):
+            e.search("idx", X[0], k=2, filter=f"color = c{i}")
+        assert len(h.mask_cache) <= 32
+
     def test_graph_restricted_search(self):
         e = mk()
         e.create_index("g")
