@@ -746,13 +746,16 @@ def main() -> None:
                                 f"{words[rr % 512]} {words[(rr * 7) % 512]} "
                                 f"{words[(rr * 13) % 512]}")
         extras["bm25_ingest_100k_s"] = round(time.time() - t0, 1)
-        _ = eng.search("bench", queries[:256], k=10, text_query="tok7 tok42",
+        # B=1024 windows — the same batched methodology as every other
+        # serving section (the flagship uses 4096); hybrid fuses on device
+        # (ops/fuse.py) so a window costs one scan+fuse round trip
+        _ = eng.search("bench", queries[:1024], k=10, text_query="tok7 tok42",
                        alpha=0.5, decay=False)
         t0 = time.time()
         ran_q = 0
         for j in range(4):
-            at = (j * 256) % max(len(queries) - 256, 1)
-            win = queries[at:at + 256]
+            at = (j * 1024) % max(len(queries) - 1024, 1)
+            win = queries[at:at + 1024]
             _ = eng.search("bench", win, k=10,
                            text_query="tok7 tok42", alpha=0.5, decay=False)
             ran_q += len(win)
@@ -760,14 +763,14 @@ def main() -> None:
 
         # hybrid WITH a metadata filter folded in (BASELINE.json config 4:
         # "HNSW + BM25 keyword fusion with metadata filters")
-        _ = eng.search("bench", queries[:256], k=10,
+        _ = eng.search("bench", queries[:1024], k=10,
                        text_query="tok7 tok42", alpha=0.5,
                        filter="grp = 7", decay=False)
         t0 = time.time()
         ran_q = 0
         for j in range(4):
-            at = (j * 256) % max(len(queries) - 256, 1)
-            win = queries[at:at + 256]
+            at = (j * 1024) % max(len(queries) - 1024, 1)
+            win = queries[at:at + 1024]
             _ = eng.search("bench", win, k=10,
                            text_query="tok7 tok42", alpha=0.5,
                            filter="grp = 7", decay=False)
@@ -780,13 +783,13 @@ def main() -> None:
         for i in range(2000):
             eng.link("bench", f"v{i}", "rel",
                      f"v{int(rng_g.integers(0, 2000))}", _journal=False)
-        _ = eng.search("bench", queries[:256], k=10, graph_root="v0",
+        _ = eng.search("bench", queries[:1024], k=10, graph_root="v0",
                        graph_depth=2, decay=False)
         t0 = time.time()
         ran_q = 0
         for j in range(4):
-            at = (j * 256) % max(len(queries) - 256, 1)
-            win = queries[at:at + 256]
+            at = (j * 1024) % max(len(queries) - 1024, 1)
+            win = queries[at:at + 1024]
             _ = eng.search("bench", win, k=10,
                            graph_root="v0", graph_depth=2, decay=False)
             ran_q += len(win)

@@ -25,6 +25,7 @@ import numpy as np
 from ..index.bruteforce import BruteForceIndex
 from ..index.hnsw import HNSWConfig, HNSWIndex
 from ..ops import distance as dist
+from ..ops import fuse as fuselib
 from ..persist import aof as aoflib
 from ..persist import checkpoint as ckptlib
 from ..persist.resp import format_command, parse_command
@@ -658,6 +659,21 @@ class Engine:
             fetch = max(k, (ef or 0))
             if text_query or (decay and h.memory.enabled):
                 fetch = max(fetch, 2 * k)  # headroom for re-ranking
+            if text_rows.size and not (decay and h.memory.enabled):
+                # device fused hybrid: chain the fusion epilogue onto the
+                # scan's device arrays — one round trip, no host post-pass
+                # (ops/fuse.py; host fallback below is bit-identical math)
+                sd = getattr(idx, "search_device", None)
+                res = sd(q, fetch, allow_rows=allow_dev
+                         if allow_dev is not None else allow) \
+                    if sd is not None else None
+                if res is not None:
+                    d_dev, rows_dev, scale = res
+                    sc, rw, dd = fuselib.fused_topk(
+                        d_dev, rows_dev, text_rows, text_vals, alpha, k,
+                        scale, cap_t=max(self.TEXT_CAND_CAP, 4 * k))
+                    return self._emit_topk(h, idx, sc, rw, dd, B, k,
+                                           include_metadata, columnar)
             d, rows_out = idx.search(
                 q, fetch, ef=ef,
                 allow_rows=allow_dev if allow_dev is not None else allow)
@@ -829,6 +845,82 @@ class Engine:
                 cj = int(top[b, j])
                 if cj < F and rows_out[b, cj] >= 0:
                     hit["distance"] = d_l[b][cj]
+                if include_metadata:
+                    hit["metadata"] = get_meta(r) or {}
+                hits.append(hit)
+            out.append(hits)
+        return out
+
+    def _emit_topk(self, h, idx, top_sc: np.ndarray, top_rows: np.ndarray,
+                   top_d: np.ndarray, B: int, k: int,
+                   include_metadata: bool, columnar: bool = False):
+        """Assemble final hits from already-fused device top-k arrays
+        (the tail of _assemble_fused, shared by the device hybrid path).
+        top_d is inf for text-only hits → distance omitted/None; the
+        binary wire keeps raw f32 inf (clients see Infinity natively)."""
+        kk = top_sc.shape[1]
+        fin = np.isfinite(top_sc)
+        row_to_ext = idx.ids.row_to_ext
+        n_rows = len(row_to_ext)
+        get_meta = h.meta.get
+        if columnar:
+            safe = np.clip(top_rows, 0, max(n_rows - 1, 0))
+            live = idx.ids.live_mask(max(n_rows, 1))
+            ok = fin & (top_rows >= 0) & (top_rows < n_rows) & live[safe]
+            if kk >= k and columnar == "np" and not include_metadata \
+                    and bool(ok[:, :k].all()):
+                ext_arr = idx.ids.exts_array()
+                return {"ids": ext_arr[safe[:, :k]].tolist(),
+                        "scores": np.ascontiguousarray(
+                            top_sc[:, :k], np.float32),
+                        "distances": np.ascontiguousarray(
+                            top_d[:, :k], np.float32)}
+            sc_l = top_sc.astype(np.float64).round(6).tolist()
+            d_l = top_d.astype(np.float64).round(5).tolist()
+            fin_d = np.isfinite(top_d)
+            col_ids: list[list] = []
+            col_s: list[list] = []
+            col_d: list[list] = []
+            col_m: list[list] = []
+            for b in range(B):
+                ids_b, s_b, d_b, m_b = [], [], [], []
+                for j in range(kk):
+                    if not fin[b, j]:
+                        continue
+                    r = int(top_rows[b, j])
+                    ext = row_to_ext[r] if 0 <= r < n_rows else None
+                    if ext is None:
+                        continue
+                    ids_b.append(ext)
+                    s_b.append(sc_l[b][j])
+                    d_b.append(d_l[b][j] if fin_d[b, j] else None)
+                    if include_metadata:
+                        m_b.append(get_meta(r) or {})
+                col_ids.append(ids_b)
+                col_s.append(s_b)
+                col_d.append(d_b)
+                if include_metadata:
+                    col_m.append(m_b)
+            out_c = {"ids": col_ids, "scores": col_s, "distances": col_d}
+            if include_metadata:
+                out_c["metadata"] = col_m
+            return out_c
+        sc_l = top_sc.tolist()
+        d_l = top_d.tolist()
+        fin_d = np.isfinite(top_d)
+        out: list[list[dict[str, Any]]] = []
+        for b in range(B):
+            hits = []
+            for j in range(kk):
+                if not fin[b, j]:
+                    continue
+                r = int(top_rows[b, j])
+                ext = row_to_ext[r] if 0 <= r < n_rows else None
+                if ext is None:
+                    continue
+                hit = {"id": ext, "score": float(sc_l[b][j])}
+                if fin_d[b, j]:
+                    hit["distance"] = d_l[b][j]
                 if include_metadata:
                     hit["metadata"] = get_meta(r) or {}
                 hits.append(hit)

@@ -663,27 +663,7 @@ class HNSWIndex:
             return (np.full((B, k), np.inf, np.float32),
                     np.full((B, k), -1, np.int32))
         q, qn = self._encode(queries)
-        allow = None
-        if allow_rows is not None and isinstance(allow_rows, jax.Array) \
-                and allow_rows.dtype == jnp.bool_ \
-                and allow_rows.ndim == 1 and allow_rows.shape[0] == self._cap:
-            # device-resident mask (engine mask cache): use as-is. The
-            # np.asarray round-trip below would pull the mask D2H and push
-            # it back — ~100 ms per call through the serving tunnel
-            # (measured, scripts/profile_hybrid.py).
-            allow = allow_rows
-        elif allow_rows is not None:
-            allow = jnp.zeros((self._cap,), bool)
-            a = np.asarray(allow_rows)
-            if a.dtype == bool:
-                allow = jnp.asarray(
-                    np.pad(a[: self._cap], (0, max(0, self._cap - a.size))))
-            else:
-                rows = a.astype(np.int32)
-                # positive OOB sentinel: -1 would write row cap-1 (see
-                # hnsw_kernels._oob)
-                rows = np.where(rows >= 0, rows, self._cap)
-                allow = allow.at[jnp.asarray(rows)].set(True, mode="drop")
+        allow = self._allow_to_device(allow_rows)
 
         if use_scan:
             d_np, i_np = self._scan_search(q, qn, B, k, allow)
@@ -724,11 +704,68 @@ class HNSWIndex:
     # arenas don't OOM HBM (cap=4M at B=4096 would need 17 GB)
     SCAN_INTERMEDIATE_BYTES = 2 << 30
 
+    def _allow_to_device(self, allow_rows) -> Optional[jax.Array]:
+        """Normalize an allow-list argument to a [cap] bool device mask."""
+        if allow_rows is None:
+            return None
+        if isinstance(allow_rows, jax.Array) \
+                and allow_rows.dtype == jnp.bool_ \
+                and allow_rows.ndim == 1 and allow_rows.shape[0] == self._cap:
+            # device-resident mask (engine mask cache): use as-is. The
+            # np.asarray round-trip below would pull the mask D2H and push
+            # it back — ~100 ms per call through the serving tunnel
+            # (measured, scripts/profile_hybrid.py).
+            return allow_rows
+        a = np.asarray(allow_rows)
+        if a.dtype == bool:
+            return jnp.asarray(
+                np.pad(a[: self._cap], (0, max(0, self._cap - a.size))))
+        allow = jnp.zeros((self._cap,), bool)
+        rows = a.astype(np.int32)
+        # positive OOB sentinel: -1 would write row cap-1 (see
+        # hnsw_kernels._oob)
+        rows = np.where(rows >= 0, rows, self._cap)
+        return allow.at[jnp.asarray(rows)].set(True, mode="drop")
+
+    def search_device(self, queries: np.ndarray, k: int, *,
+                      allow_rows: Optional[np.ndarray] = None):
+        """Scan serving that returns DEVICE-resident results: (d [B,k] f32,
+        rows [B,k] i32, l2_rescale float) with no host fetch, or None when
+        this index can't serve via the scan path (beam mode / empty). The
+        engine chains the hybrid fusion epilogue (ops/fuse.py) onto these
+        so BM25 fusion costs zero extra device round trips."""
+        if self.config.serve_mode == "beam":
+            return None
+        self._stage_pending()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[-1] != self.dim:
+            raise ValueError(
+                f"query dim {queries.shape[-1]} != index dim {self.dim}")
+        if len(self.ids) == 0:
+            return None
+        B = queries.shape[0]
+        q, qn = self._encode(queries)
+        allow = self._allow_to_device(allow_rows)
+        d, rows = self._scan_search_device(q, qn, B, k, allow)
+        scale = 1.0
+        if self._serve_quantized and self.metric == dist.L2:
+            quantum = float(self.quantizer.abs_max) / 127.0
+            scale = quantum * quantum
+        return d, rows, scale
+
     def _scan_search(self, q, qn, B: int, k: int, allow
                      ) -> tuple[np.ndarray, np.ndarray]:
-        """Fused MXU scan serving (ops/scan.py). Pads the batch to the tile
-        multiple, over-fetches 2k for approx pass-B headroom, and chunks
-        very large batches so pass-B intermediates stay within budget."""
+        # one device_get for both results: it starts copy_to_host_async on
+        # each leaf before collecting, so the two transfers overlap in one
+        # round trip (two bare np.asarray fetches would serialize)
+        return jax.device_get(self._scan_search_device(q, qn, B, k, allow))
+
+    def _scan_search_device(self, q, qn, B: int, k: int, allow
+                            ) -> tuple[jax.Array, jax.Array]:
+        """Fused MXU scan serving (ops/scan.py), device-resident results.
+        Pads the batch to the tile multiple, over-fetches 2k for approx
+        pass-B headroom, and chunks very large batches so pass-B
+        intermediates stay within budget."""
         from ..ops import scan as scanlib
         min_b = 32 if self.state.vectors.dtype == jnp.int8 else 16
         Bp = min_b
@@ -743,13 +780,13 @@ class HNSWIndex:
             # chunked dispatch: pass-B buffers bounded at bp2 queries
             outs_d, outs_r = [], []
             for i in range(0, B, bp2):
-                dd, rr = self._scan_search(q[i:i + bp2],
-                                           qn[i:i + bp2]
-                                           if qn is not None else None,
-                                           min(bp2, B - i), k, allow)
+                dd, rr = self._scan_search_device(
+                    q[i:i + bp2],
+                    qn[i:i + bp2] if qn is not None else None,
+                    min(bp2, B - i), k, allow)
                 outs_d.append(dd)
                 outs_r.append(rr)
-            return np.concatenate(outs_d), np.concatenate(outs_r)
+            return jnp.concatenate(outs_d), jnp.concatenate(outs_r)
         if Bp != B:
             q = jnp.concatenate([q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
             qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)]) \
@@ -780,8 +817,7 @@ class HNSWIndex:
             rows = jnp.take_along_axis(rows, order, 1)
             rows = jnp.where(jnp.isinf(d), -1, rows)
             d = jnp.maximum(d, 0.0)
-            import jax
-            return jax.device_get((d[:B, :k], rows[:B, :k]))
+            return d[:B, :k], rows[:B, :k].astype(jnp.int32)
         # scan fetch width: power-of-two >= max(k, 32). k=10 keeps kf=32
         # (the flagship program, 2k-headroom against pass-A group-argmin
         # collisions); a misaligned kf is strictly worse than the next
@@ -801,11 +837,7 @@ class HNSWIndex:
             mode="exact" if self.config.scan_exact else "approx",
             has_allow=allow is not None,
             fast=self.config.scan_precision == "fast")
-        # one device_get for both results: it starts copy_to_host_async on
-        # each leaf before collecting, so the two transfers overlap in one
-        # round trip (two bare np.asarray fetches would serialize)
-        import jax
-        return jax.device_get((d[:B, :k], rows[:B, :k]))
+        return d[:B, :k], rows[:B, :k].astype(jnp.int32)
 
     def compress_serving(self, dtype: str = "bfloat16",
                          _pretrained: bool = False) -> None:

@@ -1,0 +1,116 @@
+"""Device-side hybrid fusion epilogue.
+
+Reference semantics: searchWithFusion's min-max normalize + weighted-sum
+fusion over the union of the vector and BM25 candidate sets
+(ops.go:1071-1097, search_utils.go:48-72). The host path
+(engine._assemble_fused) implements the same math in numpy; this module
+chains it onto the scan's DEVICE arrays instead, so a hybrid search costs
+exactly one device round trip (scan → fuse → top-k → single device_get)
+— through a serving tunnel with ~30 ms block latency the extra host pass
+was the difference between 4.3k and >20k QPS at B=1024.
+
+Shapes are static per compile: B and F come from the scan program the
+engine already runs, T is the text-candidate pad (power of two ≥ 64,
+capped by the engine's TEXT_CAND_CAP); alpha and the int8-L2 distance
+rescale are traced scalars so sweeping them never recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# rows-sentinel for text-candidate padding: larger than any row index, so
+# the padded tail stays sorted for searchsorted and never matches a real
+# scan row
+_PAD_ROW = np.iinfo(np.int32).max
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fuse_topk(d, rows, tr, tsn, alpha, scale, k):
+    """d [B,F] f32 distances (inf-masked), rows [B,F] i32 (-1 pads),
+    tr [T] i32 ascending text-candidate rows (_PAD_ROW pads),
+    tsn [T] f32 normalized text scores (0 at pads).
+    Returns (fused scores [B,k] desc, rows [B,k] i32, distances [B,k])."""
+    B, F = d.shape
+    T = tr.shape[0]
+    valid = rows >= 0
+    # min-max normalize the vector branch per query (invert: lower
+    # distance → higher similarity), exactly the host-path math
+    lo = jnp.min(jnp.where(valid, d, jnp.inf), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(valid, d, -jnp.inf), axis=1, keepdims=True)
+    any_valid = valid.any(axis=1, keepdims=True)
+    lo = jnp.where(any_valid, lo, 0.0)
+    hi = jnp.where(any_valid, hi, 0.0)
+    span = hi - lo
+    ok = span > 0
+    vec_sim = jnp.where(ok, (hi - d) / jnp.where(ok, span, 1.0), 1.0)
+
+    # text score of each vector candidate: sorted lookup into tr
+    pos = jnp.clip(jnp.searchsorted(tr, rows), 0, T - 1)
+    tmatch = valid & (tr[pos] == rows)
+    text_of_vec = jnp.where(tmatch, tsn[pos], 0.0)
+    # text-only candidates already present in the query's vector set are
+    # duplicates: mark via scatter-max on the matched positions (O(B*F))
+    dup = jnp.zeros((B, T), bool).at[
+        jnp.arange(B)[:, None], pos].max(tmatch)
+    live_t = tr < _PAD_ROW
+
+    vec_all = jnp.concatenate(
+        [jnp.where(valid, vec_sim, 0.0), jnp.zeros((B, T))], axis=1)
+    text_all = jnp.concatenate(
+        [text_of_vec, jnp.broadcast_to(tsn, (B, T))], axis=1)
+    fused = alpha * vec_all + (1.0 - alpha) * text_all
+    keep = jnp.concatenate([valid, (~dup) & live_t[None, :]], axis=1)
+    fused = jnp.where(keep, fused, -jnp.inf)
+
+    R_all = jnp.concatenate(
+        [rows, jnp.broadcast_to(tr, (B, T))], axis=1)
+    d_all = jnp.concatenate(
+        [jnp.where(valid, d, jnp.inf), jnp.full((B, T), jnp.inf)], axis=1)
+    kk = min(k, F + T)
+    top_sc, top_i = jax.lax.top_k(fused, kk)
+    top_rows = jnp.take_along_axis(R_all, top_i, axis=1).astype(jnp.int32)
+    top_d = jnp.take_along_axis(d_all, top_i, axis=1) * scale
+    return top_sc, top_rows, top_d
+
+
+def prepare_text(text_rows: np.ndarray, text_vals: np.ndarray,
+                 cap_t: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host prep: keep the top cap_t text candidates, min-max normalize
+    their scores (search_utils.go:48-55), sort by row, pad to a power of
+    two so every (B, F, T) triple reuses one compiled program."""
+    if text_rows.size > cap_t:
+        sel = np.argpartition(text_vals, text_vals.size - cap_t)[-cap_t:]
+        tr, ts = text_rows[sel], text_vals[sel]
+    else:
+        tr, ts = text_rows, text_vals
+    t_lo, t_hi = ts.min(), ts.max()
+    tsn = np.ones_like(ts) if t_hi <= t_lo else (ts - t_lo) / (t_hi - t_lo)
+    order = np.argsort(tr, kind="stable")
+    tr, tsn = tr[order], tsn[order]
+    T = 64
+    while T < tr.size:
+        T *= 2
+    pad = T - tr.size
+    if pad:
+        tr = np.concatenate([tr, np.full(pad, _PAD_ROW, np.int64)])
+        tsn = np.concatenate([tsn, np.zeros(pad)])
+    return tr.astype(np.int32), tsn.astype(np.float32)
+
+
+def fused_topk(d_dev, rows_dev, text_rows: np.ndarray,
+               text_vals: np.ndarray, alpha: float, k: int,
+               scale: float, cap_t: int
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full hybrid epilogue: text prep on host (the BM25 candidate list is
+    shared by the whole batch — a few hundred rows), fusion + top-k on
+    device chained onto the scan outputs, one blocking fetch."""
+    tr, tsn = prepare_text(text_rows, text_vals, cap_t)
+    sc, rw, dd = _fuse_topk(d_dev, rows_dev.astype(jnp.int32),
+                            jnp.asarray(tr), jnp.asarray(tsn),
+                            jnp.float32(alpha), jnp.float32(scale), k)
+    return jax.device_get((sc, rw, dd))

@@ -1,0 +1,130 @@
+"""Device-fused hybrid epilogue (ops/fuse.py) vs the host fusion path.
+
+The engine routes hybrid (vector + BM25) searches through
+HNSWIndex.search_device + fuselib.fused_topk — fusion chained onto the
+scan's device arrays, one round trip. The host numpy path
+(_assemble_fused) implements the same searchWithFusion math
+(ops.go:1071-1186); these tests pin the two bit-close on the same data,
+including filtered and columnar variants.
+"""
+
+import numpy as np
+import pytest
+
+from kektordb_tpu.engine import Engine, EngineConfig
+
+
+def mk():
+    return Engine(EngineConfig(start_background=False)).open()
+
+
+def _build(n=300, d=16, seed=7):
+    e = mk()
+    e.create_index("t", m=8)
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    metas = [{"body": f"alpha tok{i % 7} beta gamma tok{i % 13}",
+              "_indexed_fields": ["body"], "grp": i % 4}
+             for i in range(n)]
+    e.add_batch("t", [f"v{i}" for i in range(n)], X, metas)
+    return e, X, rng
+
+
+def _force_host(e, name):
+    """Shadow search_device on the instance so the engine falls back to
+    the host _assemble_fused path."""
+    idx = e.indexes[name].index
+    idx.search_device = lambda *a, **k: None
+    return idx
+
+
+def _ids_scores(hits):
+    return ([h["id"] for h in hits], [h["score"] for h in hits])
+
+
+class TestDeviceFusedHybridParity:
+    def test_matches_host_path(self):
+        e, X, rng = _build()
+        q = rng.normal(size=(6, 16)).astype(np.float32)
+        got = e.search("t", q, k=10, text_query="tok3 alpha", alpha=0.6,
+                       decay=False)
+        _force_host(e, "t")
+        want = e.search("t", q, k=10, text_query="tok3 alpha", alpha=0.6,
+                        decay=False)
+        for g, w in zip(got, want):
+            gi, gs = _ids_scores(g)
+            wi, ws = _ids_scores(w)
+            # scores must agree; id order may swap only on near-ties
+            assert np.allclose(sorted(gs), sorted(ws), atol=1e-4)
+            assert set(gi) == set(wi) or \
+                np.allclose(sorted(gs), sorted(ws), atol=1e-6)
+            assert gi[0] == wi[0]  # top hit is stable
+
+    def test_matches_host_with_filter(self):
+        e, X, rng = _build()
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        kw = dict(k=8, text_query="tok5 gamma", alpha=0.4,
+                  filter="grp = 2", decay=False)
+        got = e.search("t", q, **kw)
+        _force_host(e, "t")
+        want = e.search("t", q, **kw)
+        for g, w in zip(got, want):
+            assert [h["id"] for h in g] and \
+                all(int(h["id"][1:]) % 4 == 2 for h in g)
+            assert np.allclose(sorted(_ids_scores(g)[1]),
+                               sorted(_ids_scores(w)[1]), atol=1e-4)
+
+    def test_text_only_rows_have_no_distance(self):
+        """A hit sourced only from the BM25 branch carries no distance
+        (host parity: _assemble_fused omits it)."""
+        e, X, rng = _build(n=64)
+        # text query matching docs far from q, alpha tiny → text dominates
+        q = rng.normal(size=(1, 16)).astype(np.float32)
+        hits = e.search("t", q, k=30, text_query="tok3", alpha=0.01,
+                        decay=False)
+        assert hits[0]
+        # every hit either has a float distance or omits the key entirely
+        for h in hits[0]:
+            if "distance" in h:
+                assert np.isfinite(h["distance"])
+
+    def test_columnar_and_dict_agree_on_device_path(self):
+        e, X, rng = _build()
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        kw = dict(k=6, text_query="tok1 beta", alpha=0.5, decay=False)
+        hits = e.search("t", q, **kw)
+        cols = e.search("t", q, columnar=True, **kw)
+        assert cols["ids"] == [[h["id"] for h in hh] for hh in hits]
+        for b in range(3):
+            for j, h in enumerate(hits[b]):
+                assert abs(cols["scores"][b][j] - h["score"]) < 1e-5
+                cd = cols["distances"][b][j]
+                if "distance" in h:
+                    assert abs(cd - h["distance"]) < 1e-3
+                else:
+                    assert cd is None
+
+    def test_columnar_np_wire_shape(self):
+        e, X, rng = _build()
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        out = e.search("t", q, k=5, text_query="tok2 alpha", alpha=0.5,
+                       decay=False, columnar="np")
+        if isinstance(out["scores"], np.ndarray):   # rect fast path taken
+            assert out["scores"].shape == (4, 5)
+            assert out["scores"].dtype == np.float32
+            assert len(out["ids"]) == 4 and len(out["ids"][0]) == 5
+
+    def test_decay_path_still_host(self):
+        """memory.enabled + decay=True must keep working (host fusion)."""
+        e, X, rng = _build(n=64)
+        from kektordb_tpu.engine import fusion
+        e.indexes["t"].memory = fusion.MemoryConfig(
+            enabled=True, decay_half_life=3600.0)
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        hits = e.search("t", q, k=5, text_query="tok3", alpha=0.5)
+        assert hits[0]
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q"]))
