@@ -1,6 +1,6 @@
 # KektorDB-TPU developer targets
 
-.PHONY: test test-fast bench native serve mcp lint clean
+.PHONY: test test-fast bench native serve mcp lint clean sync-skills
 
 test:
 	python -m pytest tests/ -q
@@ -27,6 +27,15 @@ mcp:
 
 lint:
 	python -m compileall -q kektordb_tpu
+
+# skills/kektordb/SKILL.md is a byte-for-byte mirror of the MCP server's
+# memory_instructions resource so users can drop it into agent systems
+# that consume skill files. After editing the source, re-run this;
+# tests/test_services.py::test_skill_mirror_in_sync enforces parity
+# (reference: Makefile:188-194 sync-skills + TestMemoryInstructionsInSync).
+sync-skills:
+	mkdir -p skills/kektordb
+	cp kektordb_tpu/server/memory_instructions.md skills/kektordb/SKILL.md
 
 clean:
 	rm -rf kektordb_tpu/native/kektor_native.so .pytest_cache \

@@ -559,3 +559,16 @@ class TestGardenerServiceSurface:
                        "arguments": {"session_id": "sx"}}})
         out = json.loads(resp["result"]["content"][0]["text"])
         assert out["member_count"] == 2
+
+
+def test_skill_mirror_in_sync():
+    """skills/kektordb/SKILL.md must be a byte-for-byte mirror of the MCP
+    memory_instructions resource (reference: Makefile sync-skills target +
+    TestMemoryInstructionsInSync). Re-sync with `make sync-skills`."""
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1]
+    src = root / "kektordb_tpu" / "server" / "memory_instructions.md"
+    mirror = root / "skills" / "kektordb" / "SKILL.md"
+    assert mirror.exists(), "skill mirror missing — run `make sync-skills`"
+    assert mirror.read_bytes() == src.read_bytes(), \
+        "skill mirror out of sync — run `make sync-skills`"
