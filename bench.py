@@ -822,6 +822,69 @@ def main() -> None:
             for b in range(ns_h)])), 4)
         mark("host_arena")
 
+    def _glove_dims_section():
+        # GloVe-dimension sweep: the reference publishes cosine points at
+        # 100d/400k, 200d/200k, 300d/200k (BENCHMARKS.md:27,42,50 — recall
+        # 0.9664/0.9780/0.9569, QPS 1073/701/586). Same clustered-cosine
+        # generator as the 384-d section, same scan-serve methodology.
+        for dd, nn, ref_qps, ref_rec in ((100, 400_000, 1073, 0.9664),
+                                         (200, 200_000, 701, 0.9780),
+                                         (300, 200_000, 586, 0.9569)):
+            if not in_budget():
+                return
+            rngg = np.random.default_rng(dd)
+            G = np.empty((nn + 1024, dd), np.float32)
+            gcents = rngg.normal(size=(4096, dd)).astype(np.float32)
+            for i in range(0, G.shape[0], 131_072):
+                m = min(131_072, G.shape[0] - i)
+                which = rngg.integers(0, 4096, size=m)
+                G[i:i + m] = gcents[which] + \
+                    0.35 * rngg.normal(size=(m, dd)).astype(np.float32)
+            G /= np.linalg.norm(G, axis=1, keepdims=True) + 1e-12
+            gb, gq = G[:nn], G[nn:]
+            gidx = HNSWIndex(dd, dist.COSINE,
+                             config=HNSWConfig(m=16, serve_mode="scan",
+                                               chunk=8192))
+            gidx._grow_for(nn)
+            t0 = time.time()
+            gidx.add_batch([f"g{i}" for i in range(nn)], gb, link=False)
+            jax.block_until_ready(gidx.state.vectors)
+            extras[f"glove{dd}d_build_s"] = round(time.time() - t0, 1)
+            ggt = np.empty((1024, 10), np.int32)
+            gb_j = jnp.asarray(gb)
+            for i in range(0, 1024, 512):
+                _, gii = dist.brute_force_topk(jnp.asarray(gq[i:i + 512]),
+                                               gb_j, 10, dist.COSINE)
+                ggt[i:i + 512] = np.asarray(gii)
+            del gb_j
+            gst = gidx.state
+            gqe, gqn = gidx._encode(gq[:1024])
+
+            def gbatch():
+                return scanlib.scan_search(
+                    gst.vectors, gst.norms, gst.levels, gst.deleted, None,
+                    gqe, gqn, 16, metric=dist.COSINE, mode="approx",
+                    has_allow=False)
+            jax.block_until_ready(gbatch())          # warm compile
+            reps = 12
+            t0 = time.time()
+            outs_g = [gbatch() for _ in range(reps)]
+            jax.block_until_ready(outs_g)
+            extras[f"glove{dd}d_qps"] = round(
+                reps * 1024 / (time.time() - t0), 1)
+            got_g = np.asarray(outs_g[0][1])[:1024, :10]
+            extras[f"glove{dd}d_recall_at_10"] = round(float(np.mean([
+                len(set(map(int, got_g[b])) & set(map(int, ggt[b]))) / 10
+                for b in range(1024)])), 4)
+            extras[f"glove{dd}d_vs_ref_qps"] = round(
+                extras[f"glove{dd}d_qps"] / ref_qps, 2)
+            extras[f"glove{dd}d_ref_recall"] = ref_rec
+            del gidx, G, gb
+            mark(f"glove{dd}d")
+
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        _glove_dims_section()
+
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         # runs LAST: operating-point studies, not VERDICT-gated numbers —
         # must never consume budget the hybrid/graph/filter extras need
@@ -830,7 +893,7 @@ def main() -> None:
         _aniso_proj_section()
 
     baseline_qps = 881.0  # BENCHMARKS.md:63
-    print(json.dumps({
+    result = {
         "metric": "SIFT1M-style 128d L2 batched query QPS "
                   "(fused MXU scan serve, k=10; graph built M16 efC200)",
         "value": round(qps, 1),
@@ -848,7 +911,61 @@ def main() -> None:
         "serve_precision": "float32",
         "device": str(jax.devices()[0]),
         **extras,
-    }))
+    }
+    _track_regressions(result)
+    print(json.dumps(result))
+
+
+def _track_regressions(result: dict) -> None:
+    """Bench-over-bench deltas vs the latest driver-recorded BENCH_r*.json.
+
+    VERDICT r3 weak#7: the 37.7→56.2 s build regression went silently
+    unremarked. Every run now loads the previous round's JSON line, emits
+    per-metric pct deltas (positive = better), and shouts >15% regressions
+    to stderr + a `regressions` list in the result. Full-corpus metrics
+    only compare when n matches (a reduced-N smoke run is not a regression).
+    """
+    import glob
+    import re
+    benches = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r[0-9]*.json")))
+    if not benches:
+        return
+    try:
+        raw = json.load(open(benches[-1]))
+        prev = None
+        for line in reversed(raw.get("tail", "").splitlines()):
+            if line.startswith("{"):
+                prev = json.loads(line)
+                break
+    except Exception as exc:                      # noqa: BLE001
+        result["deltas_error"] = repr(exc)[:120]
+        return
+    if not prev or prev.get("n") != result.get("n"):
+        return
+    rnd = re.search(r"r(\d+)", os.path.basename(benches[-1]))
+    deltas: dict[str, float] = {}
+    regressions: list[str] = []
+    for key, old in prev.items():
+        new = result.get(key)
+        if not (isinstance(old, (int, float)) and isinstance(new, (int, float))
+                and not isinstance(old, bool) and old):
+            continue
+        if key.endswith(("_qps", "_per_s", "_speedup")) or key == "value" \
+                or key == "sync_qps" or "recall" in key:
+            pct = (new - old) / old * 100.0       # higher is better
+        elif key.endswith(("_s", "_ms")):
+            pct = (old - new) / old * 100.0       # lower is better
+        else:
+            continue
+        deltas[key] = round(pct, 1)
+        if pct < -15.0:
+            regressions.append(f"{key}: {old} -> {new} ({pct:+.1f}%)")
+    result[f"deltas_vs_r{rnd.group(1) if rnd else '?'}"] = deltas
+    if regressions:
+        result["regressions"] = regressions
+        for r in regressions:
+            print(f"[bench] REGRESSION {r}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
