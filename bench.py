@@ -533,15 +533,18 @@ def main() -> None:
         del cb_j
 
         def cos_qps_recall(tag):
-            # pipelined like the headline: dispatch back-to-back, one sync
+            # pipelined like the headline: dispatch back-to-back, one sync.
+            # _encode_query keeps the query FLOAT on int8 arenas (asym
+            # scoring + rowwise codes; r3's symmetric path cost 3 recall
+            # points: 0.9648 vs the 0.9789 int8 information ceiling)
             cst = cidx.state
-            cqe, cqn = cidx._encode(cq[:1024])
+            cqe, cqn = cidx._encode_query(cq[:1024], True)
 
             def cbatch():
                 return scanlib.scan_search(
                     cst.vectors, cst.norms, cst.levels, cst.deleted, None,
                     cqe, cqn, 16, metric=dist.COSINE, mode="approx",
-                    has_allow=False)
+                    has_allow=False, quantum=cidx._quantum())
             o = cbatch()
             jax.block_until_ready(o)                         # warm compile
             reps = 12
@@ -560,6 +563,25 @@ def main() -> None:
         if in_budget():
             cidx.compress_serving("int8")
             cos_qps_recall("int8")
+            # the int8 INFORMATION ceiling on this corpus: exact top-k over
+            # the dequantized codes vs the f32 ground truth — any recall
+            # gap beyond (ceiling - measured) is scan machinery, the rest
+            # is the 8-bit format itself (this clustered synthetic corpus
+            # has far thinner rank-10 margins than real GloVe)
+            st8 = cidx.state
+            deq = st8.vectors.astype(jnp.float32) / jnp.maximum(
+                st8.norms, 1e-9)[:, None]
+            live8 = (st8.levels >= 0) & ~st8.deleted
+            ceil_got = np.empty((1024, 10), np.int32)
+            for i in range(0, 1024, 512):
+                _, ci = dist.brute_force_topk(
+                    jnp.asarray(cq[i:i + 512]), deq, 10, dist.COSINE,
+                    valid=live8)
+                ceil_got[i:i + 512] = np.asarray(ci)
+            del deq
+            extras["int8_recall_ceiling"] = round(float(np.mean([
+                len(set(map(int, ceil_got[b])) & set(map(int, cgt[b]))) / 10
+                for b in range(1024)])), 4)
         del cidx, Craw, cbase
         mark("cosine+int8")
 

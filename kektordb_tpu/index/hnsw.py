@@ -97,6 +97,11 @@ def encode_block(v32: jnp.ndarray, *, metric: str, out_dtype,
     if metric == dist.COSINE:
         v = dist.normalize(v)
     if quantized:
+        if metric == dist.COSINE:
+            # per-row scale: free for cosine (scoring normalizes by
+            # |x_int| so the scale cancels) and ~1.3 recall points finer
+            # than one global abs_max — see quant.quantize_rowwise
+            return quant.quantize_rowwise(v)
         return quant.quantize(quantizer, v)
     enc = v.astype(out_dtype)
     if metric == dist.L2:
@@ -267,6 +272,31 @@ class HNSWIndex:
         return encode_block(v, metric=self.metric,
                             out_dtype=self.state.vectors.dtype,
                             quantized=quantized, quantizer=self.quantizer)
+
+    def _encode_query(self, queries,
+                      scan: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Serving-side query encode. int8 arenas on the SCAN path keep the
+        query float (cosine-normalized f32) — ASYMMETRIC scoring: the
+        corpus's quantization becomes the only error source, recovering
+        the ~2-3 recall points the symmetric path loses to query
+        quantization (reference scores symmetrically in the int domain,
+        hnsw_index.go:2396-2443). The beam path keeps the symmetric
+        int-domain encode its gather kernels expect."""
+        quantized = self.precision == dist.INT8 or self._serve_quantized
+        if quantized and scan:
+            v = jnp.asarray(queries, jnp.float32)
+            if self.metric == dist.COSINE:
+                v = dist.normalize(v)
+                return v, jnp.ones((v.shape[0],), jnp.float32)
+            return v, jnp.zeros((v.shape[0],), jnp.float32)
+        return self._encode(queries)
+
+    def _quantum(self) -> Optional[jnp.ndarray]:
+        """abs_max/127 as a traced device scalar (no host sync) when the
+        arena is int8, else None — scan_search's asym L2 rescale input."""
+        if self.state.vectors.dtype == jnp.int8:
+            return self.quantizer.abs_max / 127.0
+        return None
 
     # -- capacity ----------------------------------------------------------
 
@@ -662,7 +692,7 @@ class HNSWIndex:
         if len(self.ids) == 0 or (not use_scan and int(self.state.entry) < 0):
             return (np.full((B, k), np.inf, np.float32),
                     np.full((B, k), -1, np.int32))
-        q, qn = self._encode(queries)
+        q, qn = self._encode_query(queries, use_scan)
         allow = self._allow_to_device(allow_rows)
 
         if use_scan:
@@ -692,10 +722,11 @@ class HNSWIndex:
                                  nav=self._nav_table())
             d_np = np.asarray(d[:B, :k])
             i = np.asarray(i[:B, :k])
-        if self._serve_quantized and self.metric == dist.L2:
-            # euclidean distances were computed in the quantized domain;
-            # rescale back. Cosine (1 - dot/|a||b|) is scale-invariant —
-            # no rescale.
+        if self._serve_quantized and self.metric == dist.L2 and not use_scan:
+            # BEAM euclidean distances were computed in the quantized
+            # domain; rescale back. The scan path scores asymmetrically
+            # (quantum folded into the serving bias) so its distances are
+            # already real-domain. Cosine is scale-invariant — no rescale.
             quantum = float(self.quantizer.abs_max) / 127.0
             d_np = d_np * (quantum * quantum)
         return d_np, i
@@ -744,14 +775,12 @@ class HNSWIndex:
         if len(self.ids) == 0:
             return None
         B = queries.shape[0]
-        q, qn = self._encode(queries)
+        q, qn = self._encode_query(queries, True)
         allow = self._allow_to_device(allow_rows)
         d, rows = self._scan_search_device(q, qn, B, k, allow)
-        scale = 1.0
-        if self._serve_quantized and self.metric == dist.L2:
-            quantum = float(self.quantizer.abs_max) / 127.0
-            scale = quantum * quantum
-        return d, rows, scale
+        # scan distances are always real-domain (asym int8 folds the
+        # quantum into the serving bias) — no rescale for the fuser
+        return d, rows, 1.0
 
     def _scan_search(self, q, qn, B: int, k: int, allow
                      ) -> tuple[np.ndarray, np.ndarray]:
@@ -810,7 +839,7 @@ class HNSWIndex:
             d = dist.gathered(
                 self.state.vectors, rows.astype(jnp.int32), q,
                 self.metric, corpus_norms=self.state.norms,
-                query_norms=qn)
+                query_norms=qn, quantum=self._quantum())
             d = jnp.where(rows < 0, jnp.inf, d)
             order = jnp.argsort(d, axis=1)
             d = jnp.take_along_axis(d, order, 1)
@@ -836,7 +865,8 @@ class HNSWIndex:
             kf, metric=self.metric,
             mode="exact" if self.config.scan_exact else "approx",
             has_allow=allow is not None,
-            fast=self.config.scan_precision == "fast")
+            fast=self.config.scan_precision == "fast",
+            quantum=self._quantum())
         return d[:B, :k], rows[:B, :k].astype(jnp.int32)
 
     def compress_serving(self, dtype: str = "bfloat16",
@@ -857,6 +887,14 @@ class HNSWIndex:
         if self.precision != dist.F32:
             raise ValueError("compress_serving applies to float32 indexes")
         if dtype == "int8":
+            if self.metric == dist.COSINE:
+                # per-row scale (quant.quantize_rowwise): scale cancels in
+                # cosine scoring, no quantizer state needed
+                codes, norms = quant.quantize_rowwise(
+                    self.state.vectors.astype(jnp.float32))
+                self.state = self.state._replace(vectors=codes, norms=norms)
+                self._serve_quantized = True
+                return
             if not _pretrained:
                 used = self.ids.capacity_used
                 v32 = self.state.vectors[:max(used, 1)].astype(jnp.float32)
@@ -959,7 +997,15 @@ class HNSWIndex:
             return None
         v = np.asarray(self.state.vectors[row])
         if self.precision == dist.INT8 or self._serve_quantized:
-            v = v.astype(np.float32) * (float(self.quantizer.abs_max) / 127.0)
+            if self.metric == dist.COSINE:
+                # per-row-scale codes carry no magnitude; the stored
+                # vector was unit-normalized at encode, so reconstruct
+                # the unit direction
+                v = v.astype(np.float32)
+                v = v / max(float(np.linalg.norm(v)), 1e-12)
+            else:
+                v = v.astype(np.float32) * (
+                    float(self.quantizer.abs_max) / 127.0)
         return v.astype(np.float32)
 
     def search_ids(self, queries: np.ndarray, k: int, **kw):

@@ -112,16 +112,23 @@ def gathered(
     *,
     corpus_norms: Optional[jax.Array] = None,
     query_norms: Optional[jax.Array] = None,
+    quantum: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Distances from each query to an arbitrary gathered candidate set.
 
     This is the ef-search hot path (reference searchLayerUnlocked's distFn
     closure, hnsw_index.go:2340-2600): [B, C] gathers + a batched
     multiply-reduce on the VPU. Invalid ids get +inf.
+
+    int8 corpora score two ways: SYMMETRIC (int8 query too — the beam
+    path, matching hnsw_index.go:2396-2443's int domain) or ASYMMETRIC
+    (float query × int8 codes at HIGHEST — int8 values are exactly
+    representable in f32, so the only remaining error is the corpus's own
+    quantization; `quantum` maps L2 back to the real domain).
     """
     safe = jnp.maximum(ids, 0)
     vecs = vectors[safe]                                   # [B, C, D]
-    if vectors.dtype == jnp.int8:
+    if vectors.dtype == jnp.int8 and queries.dtype == jnp.int8:
         dots = jnp.einsum(
             "bcd,bd->bc", vecs.astype(jnp.int32), queries.astype(jnp.int32),
         ).astype(jnp.float32)
@@ -133,6 +140,20 @@ def gathered(
             q2 = (query_norms ** 2)[:, None]
             c2 = corpus_norms[safe] ** 2
             d = q2 - 2.0 * dots + c2
+    elif vectors.dtype == jnp.int8:
+        dots = jnp.einsum(
+            "bcd,bd->bc", vecs.astype(jnp.float32),
+            queries.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        cn = jnp.maximum(corpus_norms[safe], 1e-9)         # |x_int|
+        if metric == COSINE:
+            d = 1.0 - dots / cn          # queries pre-normalized (|q| = 1)
+        else:
+            qm = quantum if quantum is not None else jnp.float32(1.0)
+            q2 = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1,
+                         keepdims=True)
+            d = q2 - 2.0 * qm * dots + (qm * cn) ** 2
     else:
         compute_t = vectors.dtype if vectors.dtype == jnp.bfloat16 else jnp.float32
         dots = jnp.einsum(

@@ -97,11 +97,21 @@ def _tiles(B: int, N: int, int8: bool = False,
 
 
 def _make_kernel(BT: int, ST: int, int8: bool, hi_prec: bool,
-                 G: int):
+                 G: int, asym: bool = False):
     W = ST // G
 
     def kernel(q_ref, v_ref, biasA_ref, biasB_ref, gmin_ref, garg_ref):
-        if int8:
+        if int8 and asym:
+            # asymmetric int8: float query × int8 codes. The codes cast to
+            # the query dtype losslessly (|code| <= 127 fits bf16/f32
+            # exactly), so the corpus's quantization is the ONLY remaining
+            # error — removes the query-quantization half of the symmetric
+            # path's recall loss while the arena still reads at 1 B/elem.
+            dots = jax.lax.dot_general(
+                q_ref[:], v_ref[:].astype(q_ref.dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        elif int8:
             dots = jax.lax.dot_general(
                 q_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -142,7 +152,9 @@ def _pass_a(q, vectors, biasA, biasB, *, interpret=False, fast=False):
                     dim=D)
     G = min(g_for(N), ST // 128)     # keep W = ST/G lane-aligned (>=128)
     W = ST // G
-    kernel = _make_kernel(BT, ST, vectors.dtype == jnp.int8, hi_prec, G)
+    kernel = _make_kernel(BT, ST, vectors.dtype == jnp.int8, hi_prec, G,
+                          asym=vectors.dtype == jnp.int8
+                          and q.dtype != jnp.int8)
     return pl.pallas_call(
         kernel,
         grid=(B // BT, N // ST),
@@ -217,10 +229,17 @@ def _scan_xla(q, vectors, biasA, biasB, k, block=16384):
         blk = jax.lax.dynamic_slice_in_dim(v, start, block, 0)
         a = jax.lax.dynamic_slice_in_dim(bA, start, block, 0)
         b = jax.lax.dynamic_slice_in_dim(bB, start, block, 0)
-        if vectors.dtype == jnp.int8:
+        if vectors.dtype == jnp.int8 and q.dtype == jnp.int8:
             dots = jax.lax.dot_general(
                 q, blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
+        elif vectors.dtype == jnp.int8:
+            # asymmetric: float query × int8 codes (exact in f32)
+            dots = jax.lax.dot_general(
+                q.astype(jnp.float32), blk.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         else:
             dots = jax.lax.dot_general(
                 q, blk, (((1,), (1,)), ((), ())),
@@ -281,16 +300,25 @@ def serving_bias(
     #                        norms for int8, unused (zeros) for cosine
     live: jax.Array,       # [N] bool — allocated and not deleted
     metric: str,
+    quantum: Optional[jax.Array] = None,   # int8 asym L2: abs_max / 127
 ) -> tuple[jax.Array, jax.Array]:
     """(biasA, biasB) for the scan score form, with +inf masking of dead
     rows. All inputs are [N]-sized — the arena itself is not re-read
     (HNSWIndex._encode maintains |x|^2 in norms at stage time).
+
+    int8 with `quantum` set = ASYMMETRIC scoring (float query × int8
+    codes): L2 biases move to the dequantized domain so scores come out
+    as real distances (biasA = |quantum·x_int|², biasB = 2·quantum);
+    cosine is scale-invariant so its biases are identical either way.
     """
     mask = jnp.where(live, 0.0, jnp.inf)
     if vectors.dtype == jnp.int8:
         if metric == dist.COSINE:
             biasA = mask
             biasB = 2.0 / jnp.maximum(norms, 1e-9)
+        elif quantum is not None:
+            biasA = (quantum * norms.astype(jnp.float32)) ** 2 + mask
+            biasB = jnp.full_like(mask, 2.0) * quantum
         else:
             biasA = norms.astype(jnp.float32) ** 2 + mask
             biasB = jnp.full_like(mask, 2.0)
@@ -320,27 +348,39 @@ def scan_search(
     mode: str = "approx",
     has_allow: bool = False,
     fast: bool = False,
+    quantum: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One fused program: bias computation + scan top-k + distance map.
     The index-level serving entry (replaces beam_search on the scan path).
+
+    int8 arenas with a FLOAT query run ASYMMETRIC (query unquantized;
+    pass `quantum` = abs_max/127 for L2 so distances come out in the real
+    domain — no host rescale). An int8 query keeps the symmetric
+    int-domain path (hnsw_index.go:2396-2443 parity).
     """
     live = (levels >= 0) & ~deleted
     if has_allow:
         live = live & allow
-    biasA, biasB = serving_bias(vectors, norms, live, metric)
-    is_int8 = vectors.dtype == jnp.int8
+    asym = vectors.dtype == jnp.int8 and q.dtype != jnp.int8
+    biasA, biasB = serving_bias(vectors, norms, live, metric,
+                                quantum if asym else None)
+    is_int8_sym = vectors.dtype == jnp.int8 and not asym
     if _use_pallas(vectors.shape[0]):
-        if mode != "exact" and not fast and vectors.dtype == jnp.float32:
+        if mode != "exact" and not fast \
+                and (vectors.dtype == jnp.float32 or asym):
             # default f32 approx path: single-pass (bf16) scan finds the
-            # candidate set, then an exact f32 re-rank of the k candidates
+            # candidate set, then an exact re-rank of the k candidates
             # (VPU gather-einsum at HIGHEST). Measured at 1M x 128:
             # 129k QPS @ recall 0.9984 vs 96k @ 0.9979 for a bf16x3
             # pass A — faster AND more accurate (rerank fixes the
-            # near-tie ordering the fast pass scrambles).
+            # near-tie ordering the fast pass scrambles). The asym int8
+            # path gets the same treatment: pass A truncates the query to
+            # bf16, the rerank re-scores at full f32.
             _, rows = _scan_pallas(q, vectors, biasA, biasB, k,
                                    False, fast=True)
             d = dist.gathered(vectors, rows, q, metric,
-                              corpus_norms=norms, query_norms=qn)
+                              corpus_norms=norms, query_norms=qn,
+                              quantum=quantum if asym else None)
             d = jnp.where(rows < 0, jnp.inf, d)
             order = jnp.argsort(d, axis=1)
             d = jnp.take_along_axis(d, order, 1)
@@ -351,7 +391,7 @@ def scan_search(
                                fast=fast)
     else:
         s, rows = _scan_xla(q, vectors, biasA, biasB, k)
-    d = scores_to_distances(s, q, qn, metric, is_int8)
+    d = scores_to_distances(s, q, qn, metric, is_int8_sym)
     d = jnp.where(rows < 0, jnp.inf, jnp.maximum(d, 0.0))
     return d, rows
 

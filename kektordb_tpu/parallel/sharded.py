@@ -537,12 +537,15 @@ class ShardedHNSW:
                         self._rev[np.where(valid, sh, 0),
                                   np.where(valid, rows, 0)],
                         -1).astype(np.int32)
-        if self._serve_quantized and self.metric == dist.L2:
-            # quantized-domain euclidean distances rescale back
-            # (HNSWIndex.search does the same for the single-shard path)
-            quantum = float(self.shards[0].quantizer.abs_max) / 127.0
-            d = d * (quantum * quantum)
         return d, gids
+
+    def _shared_quantum(self) -> Optional[float]:
+        """abs_max/127 of the cross-shard shared quantizer as a host float
+        (baked into the SPMD program as a constant — retrain is rare), or
+        None when the arenas aren't int8."""
+        if self._get_stacked().vectors.dtype != jnp.int8:
+            return None
+        return float(self.shards[0].quantizer.abs_max) / 127.0
 
     def _search_raw(self, queries: np.ndarray, k: int, *,
                     ef: Optional[int] = None,
@@ -561,7 +564,9 @@ class ShardedHNSW:
             return (np.full((B, k), np.inf, np.float32),
                     np.full((B, k), -1, np.int32),
                     np.full((B, k), -1, np.int32))
-        q, qn = self.shards[0]._encode(queries)
+        # asym int8 on the scan path: query stays float, shared quantizer's
+        # quantum folds into each shard's serving bias (HNSWIndex parity)
+        q, qn = self.shards[0]._encode_query(queries, use_scan)
         stacked = self._get_stacked()       # cached; no restack per batch
         allow_j = None
         rev = None
@@ -608,14 +613,16 @@ class ShardedHNSW:
                     self.mesh, self.axis, stacked, pj[0], pj[1],
                     self._proj_basis, rev, allow_j, q, qn,
                     k=k, C=C, metric=self.metric,
-                    has_allow=allow_j is not None)
+                    has_allow=allow_j is not None,
+                    quantum=self._shared_quantum())
             else:
                 d, sh, rows = _sharded_scan(
                     self.mesh, self.axis, stacked, rev, allow_j, q, qn,
                     k=k, metric=self.metric,
                     mode="exact" if self.config.scan_exact else "approx",
                     has_allow=allow_j is not None,
-                    fast=self.config.scan_precision == "fast")
+                    fast=self.config.scan_precision == "fast",
+                    quantum=self._shared_quantum())
             d, sh, rows = d[:B], sh[:B], rows[:B]
         else:
             ef = max(ef or self.config.ef_search, k)
@@ -625,15 +632,16 @@ class ShardedHNSW:
                 self.mesh, self.axis, stacked, rev, allow_j, q, qn,
                 metric=self.metric, ef=ef, k=k, dual=dual,
                 has_allow=allow_j is not None)
+            if self._serve_quantized and self.metric == dist.L2:
+                # BEAM scores in the quantized domain; rescale so both
+                # serve modes return real-domain distances (the scan path
+                # is asym — quantum already folded into its bias)
+                quantum = float(self.shards[0].quantizer.abs_max) / 127.0
+                d = np.asarray(d) * (quantum * quantum)
         return np.asarray(d), np.asarray(sh), np.asarray(rows)
 
     def search_ids(self, queries: np.ndarray, k: int, **kw):
         d, sh, rows = self._search_raw(queries, k, **kw)
-        if self._serve_quantized and self.metric == dist.L2:
-            # same quantized-domain rescale search() applies — the two
-            # APIs must return distances in the same domain
-            quantum = float(self.shards[0].quantizer.abs_max) / 127.0
-            d = d * (quantum * quantum)
         out = []
         for b in range(rows.shape[0]):
             hits = []
@@ -732,7 +740,8 @@ def _sharded_proj_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
                        rev: Optional[jax.Array],
                        allow: Optional[jax.Array],
                        q: jax.Array, qn: jax.Array,
-                       *, k: int, C: int, metric: str, has_allow: bool):
+                       *, k: int, C: int, metric: str, has_allow: bool,
+                       quantum: Optional[float] = None):
     """shard_map body for serve_proj_dim: local [cap, p] projected scan
     finds C candidates, a LOCAL exact full-dim re-rank fixes their order,
     and only then do [B, k] exact tops cross ICI in the merge — the
@@ -751,7 +760,9 @@ def _sharded_proj_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
             has_allow=has_allow, fast=True)
         d = dist.gathered(state.vectors, rows.astype(jnp.int32), q,
                           metric, corpus_norms=state.norms,
-                          query_norms=qn)
+                          query_norms=qn,
+                          quantum=None if quantum is None
+                          else jnp.float32(quantum))
         d = jnp.where(rows < 0, jnp.inf, d)
         order = jnp.argsort(d, axis=1)
         d = jnp.take_along_axis(d, order, 1)
@@ -776,7 +787,7 @@ def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
                   rev: Optional[jax.Array], allow: Optional[jax.Array],
                   q: jax.Array, qn: jax.Array,
                   *, k: int, metric: str, mode: str, has_allow: bool,
-                  fast: bool = False):
+                  fast: bool = False, quantum: Optional[float] = None):
     """shard_map body: local fused scan → all_gather → global top-k merge.
     Only [B, k] tops cross ICI; the arenas never move."""
 
@@ -786,7 +797,8 @@ def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
         d, rows = scanlib.scan_search(
             state.vectors, state.norms, state.levels, state.deleted, a,
             q, qn, k, metric=metric, mode=mode, has_allow=has_allow,
-            fast=fast)
+            fast=fast,
+            quantum=None if quantum is None else jnp.float32(quantum))
         return _merge_tops(axis, d, rows, k)
 
     fn = jax.shard_map(
