@@ -38,11 +38,30 @@ def main(argv=None) -> int:
                    help="YAML config (embedder/llm/gardener/vectorizers/proxy)")
     p.add_argument("--agent", default="claude-code",
                    help="setup mode: target agent")
+    # multi-host: join a jax.distributed cluster BEFORE any engine import
+    # (parallel/distributed.py — replica axis over processes/slices)
+    p.add_argument("--coordinator",
+                   default=os.environ.get("KEKTOR_COORDINATOR") or None,
+                   help="jax.distributed coordinator address host:port "
+                        "(omit on TPU pods for cluster auto-detection)")
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("KEKTOR_PROCESS_ID", -1)))
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("KEKTOR_NUM_PROCESSES", 0)))
     args = p.parse_args(argv)
 
     logging.basicConfig(
         level=getattr(logging, args.log_level.upper()),
         format="%(asctime)s %(levelname)s %(name)s %(message)s")
+
+    if args.coordinator or args.num_processes > 0:
+        # distboot imports only jax — MUST precede engine imports so the
+        # backend flags land before backend initialization
+        from .distboot import init_distributed
+        init_distributed(
+            args.coordinator,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None)
 
     if args.mode == "tui":
         from .client.tui import main as tui_main

@@ -23,6 +23,7 @@ traversal remains available via mode="beam".
 from __future__ import annotations
 
 import functools
+import zlib
 from typing import Optional, Sequence
 
 import jax
@@ -41,13 +42,29 @@ from ..ops import scan as scanlib
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "shards") -> Mesh:
-    devs = jax.devices()
+    """The shard-axis mesh for one ShardedHNSW: this PROCESS's devices.
+
+    Arenas are staged host→device, so the shard axis can only span
+    addressable devices; in a multi-process world (jax.distributed
+    initialized) that is `jax.local_devices()`, and the cross-process
+    axis is the REPLICA axis instead — see parallel/distributed.py
+    (replica_mesh / ReplicatedServing) for the process-spanning mesh."""
+    devs = jax.local_devices() if jax.process_count() > 1 else jax.devices()
     n = n_devices or len(devs)
     if n > len(devs):
         raise ValueError(
             f"requested {n} shards but only {len(devs)} devices are "
             "visible (set XLA_FLAGS=--xla_force_host_platform_device_count)")
     return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _route(ext_id: str) -> int:
+    """Stable id→shard routing hash. Python's builtin hash() is
+    randomized per process (PYTHONHASHSEED), which would route the same
+    id to DIFFERENT shards on different replicas — DCN-replicated
+    serving (parallel/distributed.py) requires every process to build
+    the identical layout from the identical write stream."""
+    return zlib.crc32(ext_id.encode("utf-8", "surrogatepass"))
 
 
 def _stack_states(states: Sequence[K.GraphState]) -> K.GraphState:
@@ -298,7 +315,7 @@ class ShardedHNSW:
             seen.add(e)
         buckets: list[list[int]] = [[] for _ in range(self.n_shards)]
         for j, e in enumerate(ext_ids):
-            buckets[hash(e) % self.n_shards].append(j)
+            buckets[_route(e) % self.n_shards].append(j)
         if self.n_shards == 1 or len(ext_ids) < self.n_shards:
             for s, rows in enumerate(buckets):
                 if rows:
@@ -419,7 +436,7 @@ class ShardedHNSW:
     def add(self, ext_id: str, vector: np.ndarray) -> None:
         if ext_id in self.ids:
             raise KeyError(f"id already present: {ext_id}")
-        s = hash(ext_id) % self.n_shards
+        s = _route(ext_id) % self.n_shards
         self.shards[s].add(ext_id, vector)
         self._register(ext_id, s)
 

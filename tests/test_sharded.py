@@ -211,8 +211,10 @@ def test_spmd_build_matches_sequential():
     spmd.add_batch(ids, X)
     seq = ShardedHNSW(16, dist.L2, config=HNSWConfig(**cfg),
                       mesh=make_mesh(4))
+    from kektordb_tpu.parallel.sharded import _route
     for s, bidx in enumerate([[j for j in range(1200)
-                               if hash(ids[j]) % 4 == s] for s in range(4)]):
+                               if _route(ids[j]) % 4 == s]
+                              for s in range(4)]):
         block = [ids[j] for j in bidx]
         seq.shards[s].add_batch(block, X[bidx])
         for e in block:
