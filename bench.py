@@ -836,8 +836,14 @@ def main() -> None:
         t0 = time.time()
         for _j in range(reps):
             hd, hr = hidx.search(hq, 10)
-        extras["host_arena_qps"] = round(
-            reps * qbatch / (time.time() - t0), 1)
+        dt = time.time() - t0
+        extras["host_arena_qps"] = round(reps * qbatch / dt, 1)
+        # every search streams the whole arena host->device once: the
+        # measured link rate bounds this operating point (real PCIe is
+        # 10-50 GB/s; the bench tunnel is far slower — see NOTES.md)
+        bytes_per_sweep = hidx._cap * d * hidx._vectors.dtype.itemsize
+        extras["host_arena_h2d_gbps"] = round(
+            reps * bytes_per_sweep / dt / 1e9, 3)
         ns_h = min(sample, qbatch)
         extras["host_arena_recall_at_10"] = round(float(np.mean([
             len(set(map(int, hr[b, :10])) & set(map(int, gt_ids[b]))) / 10

@@ -58,7 +58,10 @@ class HNSWConfig:
     # Serving path (ops/scan.py rationale): "auto" links the graph on insert
     # and serves queries via the fused MXU scan; "scan" skips graph linking
     # entirely (pure scan index — fastest build/stream); "beam" serves via
-    # graph beam search (the gather-bound path; for N >> HBM regimes).
+    # graph beam search — the gather-bound path, for low-latency SMALL
+    # batches where a full scan wastes HBM bandwidth (beam still needs the
+    # arena RESIDENT in HBM; the beyond-HBM axis is kind="host", the
+    # chunk-streamed host arena in index/hostarena.py).
     serve_mode: str = "auto"
     # serve_mode=auto backpressure: when the staged-but-unlinked backlog
     # exceeds this, add() drains one link chunk inline so sustained writes
