@@ -911,12 +911,11 @@ def main() -> None:
             mark(f"glove{dd}d")
 
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
-        _glove_dims_section()
-
-    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
-        # runs LAST: operating-point studies, not VERDICT-gated numbers —
-        # must never consume budget the hybrid/graph/filter extras need
+        # host arena BEFORE the glove sweep: its QPS + measured H2D GB/s
+        # are VERDICT-gated (r3 #5) and must survive a tight budget
         _host_arena_section()
+    if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
+        _glove_dims_section()
     if os.environ.get("KEKTOR_BENCH_EXTRAS", "1") != "0" and in_budget():
         _aniso_proj_section()
 
