@@ -30,6 +30,7 @@ The same code runs three ways:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -137,11 +138,17 @@ def replicate_stacked(stacked: K.GraphState, mesh: Mesh,
     return jax.tree.map(lift, stacked)
 
 
+@functools.lru_cache(maxsize=64)
 def _fanout_program(mesh: Mesh, replica_axis: str, shard_axis: str,
                     *, k: int, metric: str, mode: str, fast: bool,
                     quantum: Optional[float]):
     """One SPMD program: replica-local shard scan + ICI merge, then a DCN
-    all_gather of final tops reassembles the full batch on every device."""
+    all_gather of final tops reassembles the full batch on every device.
+
+    Memoized on (mesh, axes, k, metric, mode, fast, quantum): jax's
+    dispatch cache is keyed on function identity, so returning a fresh
+    `body` closure per call would retrace + relower the scan program on
+    every distributed search (the hot path of the replicated backend)."""
 
     def body(state_blk, q, qn):
         state = jax.tree.map(lambda x: x[0], state_blk)
