@@ -259,6 +259,28 @@ def main() -> None:
 
     extras = {}
     _last_mark = [t_start]
+    trace = os.environ.get("KEKTOR_BENCH_TRACE", "0") == "1"
+
+    def rtt_probe(tag: str) -> None:
+        # diagnostic: measure the bare tunnel round-trip at this point in
+        # the run (tiny dispatch + blocking fetch). A growing RTT across
+        # sections means per-window serving costs are tunnel-side, not
+        # compute-side.
+        if not trace:
+            return
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((), jnp.float32)
+        jax.device_get(f(x))
+        t0 = time.time()
+        for _ in range(3):
+            jax.device_get(f(x))
+        print(f"[trace] rtt@{tag}: {(time.time() - t0) / 3 * 1e3:.1f} ms",
+              file=sys.stderr, flush=True)
+
+    def twin(tag: str, t0: float) -> None:
+        if trace:
+            print(f"[trace] {tag}: {(time.time() - t0) * 1e3:.1f} ms",
+                  file=sys.stderr, flush=True)
 
     def mark(name: str) -> None:
         # per-section wall time to stderr (stdout stays one JSON line)
@@ -266,6 +288,7 @@ def main() -> None:
         print(f"[bench] {name}: {now - _last_mark[0]:.1f}s "
               f"(elapsed {now - t_start:.0f}s)", file=sys.stderr, flush=True)
         _last_mark[0] = now
+        rtt_probe(name)
 
     mark("build+gt+headline")
 
@@ -750,8 +773,10 @@ def main() -> None:
             # tail slice would recompile (and return no batches) here
             at = (j * 1024) % max(len(queries) - 1024, 1)
             win = queries[at:at + 1024]
+            tw = time.time()
             r = eng.search("bench", win, k=10,
                            filter="grp = 7 AND score > 0.25", decay=False)
+            twin(f"filtered_win{j}", tw)
             ran_q += len(win)
         extras["filtered_real_filter_qps"] = round(
             ran_q / (time.time() - t0), 1)
@@ -773,13 +798,16 @@ def main() -> None:
         # (ops/fuse.py) so a window costs one scan+fuse round trip
         _ = eng.search("bench", queries[:1024], k=10, text_query="tok7 tok42",
                        alpha=0.5, decay=False)
+        rtt_probe("pre_hybrid")
         t0 = time.time()
         ran_q = 0
         for j in range(4):
             at = (j * 1024) % max(len(queries) - 1024, 1)
             win = queries[at:at + 1024]
+            tw = time.time()
             _ = eng.search("bench", win, k=10,
                            text_query="tok7 tok42", alpha=0.5, decay=False)
+            twin(f"hybrid_win{j}", tw)
             ran_q += len(win)
         extras["hybrid_qps"] = round(ran_q / (time.time() - t0), 1)
 

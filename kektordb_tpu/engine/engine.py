@@ -82,6 +82,10 @@ class IndexHandle:
         # ~50 ms/call 1M-bool host→device upload on the serving tunnel
         # (measured, scripts/profile_hybrid.py). Bounded LRU.
         self.mask_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        # device decay mirror: (key, MemoryConfig identity, DecayDevice).
+        # Rebuilt when decay columns mutate (DecayColumns.version), the
+        # memory config is replaced, cap grows, or the f32 epoch ages out.
+        self.decay_dev: Optional[tuple] = None
 
 
 class Engine:
@@ -638,9 +642,19 @@ class Engine:
                 ent = (allow, prep(allow) if prep is not None else None)
                 h.mask_cache[key] = ent
                 while len(h.mask_cache) > 32:
-                    h.mask_cache.popitem(last=False)
+                    try:
+                        h.mask_cache.popitem(last=False)
+                    except KeyError:     # raced with another reader's evict
+                        break
             else:
-                h.mask_cache.move_to_end(key)
+                # searches run under the SHARED lock side — two threads can
+                # race a hit against an insert's eviction of the same key.
+                # The entry tuple is already held locally, so a lost LRU
+                # touch is harmless; never 500 a valid search over it.
+                try:
+                    h.mask_cache.move_to_end(key)
+                except KeyError:
+                    pass
             allow, allow_dev = ent
 
         text_rows = np.empty(0, np.int64)
@@ -655,14 +669,19 @@ class Engine:
                     text_rows, text_vals = text_rows[m], text_vals[m]
 
         text_only = text_query and _is_zero(q)
+        decay_on = decay and h.memory.enabled
         if not text_only and len(idx) > 0:
             fetch = max(k, (ef or 0))
-            if text_query or (decay and h.memory.enabled):
+            if text_query or decay_on:
                 fetch = max(fetch, 2 * k)  # headroom for re-ranking
-            if text_rows.size and not (decay and h.memory.enabled):
-                # device fused hybrid: chain the fusion epilogue onto the
-                # scan's device arrays — one round trip, no host post-pass
-                # (ops/fuse.py; host fallback below is bit-identical math)
+            if text_rows.size or decay_on:
+                # device fused epilogue: fusion + decay + top-k chained
+                # onto the scan's device arrays — one round trip, no host
+                # post-pass (ops/fuse.py; host fallback below is
+                # bit-identical math). Decay-enabled indexes (the
+                # mcp_memory agent-memory case) take this path too: the
+                # per-row decay spec lives in a version-keyed device
+                # mirror (_decay_device).
                 sd = getattr(idx, "search_device", None)
                 res = sd(q, fetch, allow_rows=allow_dev
                          if allow_dev is not None else allow) \
@@ -670,8 +689,11 @@ class Engine:
                 if res is not None:
                     d_dev, rows_dev, scale = res
                     sc, rw, dd = fuselib.fused_topk(
-                        d_dev, rows_dev, text_rows, text_vals, alpha, k,
-                        scale, cap_t=max(self.TEXT_CAND_CAP, 4 * k))
+                        d_dev, rows_dev, text_rows, text_vals,
+                        alpha if text_rows.size else 1.0, k,
+                        scale, cap_t=max(self.TEXT_CAND_CAP, 4 * k),
+                        decay_dev=self._decay_device(h, cap)
+                        if decay_on else None)
                     return self._emit_topk(h, idx, sc, rw, dd, B, k,
                                            include_metadata, columnar)
             d, rows_out = idx.search(
@@ -679,7 +701,7 @@ class Engine:
                 allow_rows=allow_dev if allow_dev is not None else allow)
             d = np.asarray(d, np.float32)
             rows_out = np.asarray(rows_out, np.int64)
-            if text_rows.size == 0 and not (decay and h.memory.enabled):
+            if text_rows.size == 0 and not decay_on:
                 # vectorized fast path: no fusion/decay re-ranking needed —
                 # normalize scores as one numpy op and assemble hits in a
                 # single pass (the per-hit dict pipeline below costs ~30us
@@ -699,6 +721,25 @@ class Engine:
     # (BM25 can match thousands of rows; beyond the top few hundred they
     # cannot reach the fused top-k at any alpha)
     TEXT_CAND_CAP = 512
+
+    # refresh the decay mirror's f32 epoch after this many seconds: at a
+    # 12h offset f32 still resolves ~5 ms, far below any decay half-life
+    DECAY_EPOCH_MAX_AGE = 12 * 3600.0
+
+    def _decay_device(self, h, cap: int):
+        """Version-keyed device mirror of the per-row decay spec
+        (ops/fuse.py build_decay_device). Returns None only if the index
+        has no live rows to mirror (cap=0)."""
+        if cap <= 0:
+            return None
+        key = (h.meta.decay.version, cap)
+        ent = h.decay_dev
+        if ent is not None and ent[0] == key and ent[1] is h.memory \
+                and time.time() - ent[2].epoch < self.DECAY_EPOCH_MAX_AGE:
+            return ent[2]
+        dd = fuselib.build_decay_device(h.meta.decay, h.memory, cap)
+        h.decay_dev = (key, h.memory, dd)
+        return dd
 
     def _assemble_fused(self, h, idx, d: np.ndarray, rows_out: np.ndarray,
                         B: int, k: int, *, text_rows: np.ndarray,
@@ -773,7 +814,8 @@ class Engine:
             now = time.time()
             factors = fusion.decay_factors(h.meta.decay, R_all, h.memory,
                                            now)
-            fused = np.where(np.isfinite(fused), fused * factors, fused)
+            with np.errstate(invalid="ignore"):     # -inf * factor
+                fused = np.where(np.isfinite(fused), fused * factors, fused)
 
         kk = min(k, fused.shape[1]) if fused.shape[1] else 0
         out: list[list[dict[str, Any]]] = []

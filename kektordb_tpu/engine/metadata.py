@@ -175,6 +175,16 @@ class DecayColumns:
         self.layer = np.empty(0, np.int16)          # -1 = none
         self.layer_names: list[str] = []
         self._layer_ids: dict[str, int] = {}
+        # bumped ONLY on decay-relevant mutations — the invalidation key
+        # for the engine's device-resident decay mirror (ops/fuse.py),
+        # deliberately separate from MetadataStore.version so plain
+        # metadata writes don't force a [cap]-array rebuild + re-upload
+        self.version = 0
+        # rows holding any non-default value: makes clear_row (called per
+        # metadata remove) and the no-memory-fields write path O(1) set
+        # lookups instead of five numpy scalar reads per row — at 1M-row
+        # bulk ingest those scalar reads are seconds
+        self.touched: set[int] = set()
 
     def _ensure(self, row: int) -> None:
         if row < self.cap:
@@ -201,27 +211,56 @@ class DecayColumns:
 
     def set_row(self, row: int, meta: dict[str, Any]) -> None:
         from . import fusion as F
-        self._ensure(row)
         ts = F._parse_ts(meta.get(F.CREATED_KEY))
-        self.created[row] = np.nan if ts is None else ts
+        created = np.nan if ts is None else ts
         ts = F._parse_ts(meta.get(F.ACCESSED_KEY))
-        self.accessed[row] = np.nan if ts is None else ts
+        accessed = np.nan if ts is None else ts
         try:
-            self.count[row] = float(meta.get(F.ACCESS_COUNT_KEY) or 0.0)
+            count = float(meta.get(F.ACCESS_COUNT_KEY) or 0.0)
         except (TypeError, ValueError):
-            self.count[row] = 0.0
-        self.pinned[row] = F._truthy(meta.get(F.PINNED_KEY))
+            count = 0.0
+        pinned = F._truthy(meta.get(F.PINNED_KEY))
         layer = meta.get(F.LAYER_KEY)
-        self.layer[row] = self.layer_id(layer) \
+        lid = self.layer_id(layer) \
             if isinstance(layer, str) and layer else -1
+        if np.isnan(created) and np.isnan(accessed) and count == 0.0 \
+                and not pinned and lid == -1:
+            self.clear_row(row)          # all defaults = same as absent
+            return
+        self._ensure(row)
+        # bump only on a REAL change (NaN == absent): set_row runs on
+        # every metadata write, and repeat writes of the same memory
+        # fields must not invalidate the device decay mirror
+        if row not in self.touched:
+            self.touched.add(row)
+            self.version += 1
+        elif not (_same(self.created[row], created)
+                  and _same(self.accessed[row], accessed)
+                  and self.count[row] == count
+                  and self.pinned[row] == pinned
+                  and self.layer[row] == lid):
+            self.version += 1
+        self.created[row] = created
+        self.accessed[row] = accessed
+        self.count[row] = count
+        self.pinned[row] = pinned
+        self.layer[row] = lid
 
     def clear_row(self, row: int) -> None:
-        if row < self.cap:
-            self.created[row] = np.nan
-            self.accessed[row] = np.nan
-            self.count[row] = 0.0
-            self.pinned[row] = False
-            self.layer[row] = -1
+        if row not in self.touched:
+            return                       # already all-default: no-op
+        self.touched.discard(row)
+        self.version += 1
+        self.created[row] = np.nan
+        self.accessed[row] = np.nan
+        self.count[row] = 0.0
+        self.pinned[row] = False
+        self.layer[row] = -1
+
+
+def _same(a: float, b: float) -> bool:
+    """Float equality where NaN (= absent) equals NaN."""
+    return a == b or (np.isnan(a) and np.isnan(b))
 
 
 # system fields that feed DecayColumns (updated even on partial patches)
@@ -280,7 +319,10 @@ class MetadataStore:
             if k == INDEXED_FIELDS_KEY:
                 continue
             self._index_field(row, k, v, text_fields)
-        self.decay.set_row(row, meta)
+        # remove() above already cleared the decay row (O(1) when it held
+        # nothing); only rows carrying memory fields pay the parse
+        if any(k in meta for k in _DECAY_KEYS):
+            self.decay.set_row(row, meta)
 
     def set_batch(self, rows: Iterable[int],
                   metas: Iterable[Optional[dict[str, Any]]]) -> None:
@@ -310,7 +352,12 @@ class MetadataStore:
                     e[1].append(num)
                 if k in text_fields and isinstance(v, str):
                     self.text.add(row, k, v)
-            self.decay.set_row(row, meta)
+            # rows without memory fields skip the decay parse entirely
+            # (fresh rows start default; overwritten rows were cleared by
+            # the remove() above) — at 1M-row bulk ingest the per-row
+            # parse chain was measurable seconds
+            if any(k in meta for k in _DECAY_KEYS):
+                self.decay.set_row(row, meta)
         for (k, sval), rws in by_kv.items():
             self.inverted.setdefault(k, {}).setdefault(
                 sval, PostingSet()).update(rws)

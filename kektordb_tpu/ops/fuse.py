@@ -18,6 +18,8 @@ rescale are traced scalars so sweeping them never recompiles.
 from __future__ import annotations
 
 import functools
+import time
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,11 +31,81 @@ import numpy as np
 _PAD_ROW = np.iinfo(np.int32).max
 
 
+class DecayDevice(NamedTuple):
+    """Device-resident per-row decay spec (the columnar mirror of
+    search_utils.go:91-141 semantics, layer config pre-resolved on host so
+    the kernel is three gathers + one select).
+
+    Timestamps are stored RELATIVE to `epoch` so f32 keeps ~ms precision:
+    absolute unix seconds (~1.8e9) only carry ~2-minute f32 resolution,
+    which would wreck short-half-life decay. The engine refreshes the
+    mirror when `now - epoch` grows past a few hours (and on any decay
+    mutation via DecayColumns.version).
+    """
+    epoch: float
+    ref: jax.Array      # [cap] f32 seconds rel. epoch (0 where inactive)
+    invhl: jax.Array    # [cap] f32 1/half_life (1/S for ebbinghaus); 0 = none
+    model: jax.Array    # [cap] int8 (0 exp, 1 linear, 2 step, 3 ebbinghaus)
+
+
+def build_decay_device(cols, cfg, cap: int) -> DecayDevice:
+    """Reduce DecayColumns + MemoryConfig to the three device arrays.
+    Inactive rows (pinned / no timestamp / half_life<=0 / beyond the
+    column cap) get invhl=0, which yields factor 1.0 under every model.
+    One vectorized host pass + one H2D upload, version-keyed by the
+    engine — amortized across every decayed search until the next decay
+    mutation."""
+    from ..engine.fusion import _MODEL_IDS
+
+    epoch = time.time()
+    n = min(cols.cap, cap)
+    ref64 = np.full(cap, np.nan)
+    ref64[:n] = np.where(np.isnan(cols.accessed[:n]),
+                         cols.created[:n], cols.accessed[:n])
+    active = ~np.isnan(ref64)
+    active[:n] &= ~cols.pinned[:n]
+
+    n_layers = len(cols.layer_names)
+    hl_by_layer = np.full(n_layers + 1, cfg.decay_half_life)
+    model_by_layer = np.full(n_layers + 1,
+                             _MODEL_IDS.get(cfg.decay_model, 0), np.int8)
+    for i, name in enumerate(cols.layer_names):
+        lc = cfg.layers.get(name)
+        if lc is None:
+            continue
+        if lc.decay_half_life > 0:
+            hl_by_layer[i] = lc.decay_half_life
+        if lc.decay_model:
+            model_by_layer[i] = _MODEL_IDS.get(lc.decay_model, 0)
+    lid = np.full(cap, n_layers, np.int64)           # last slot = defaults
+    lid[:n] = np.where(cols.layer[:n] >= 0, cols.layer[:n], n_layers)
+    hl = hl_by_layer[lid]
+    model = model_by_layer[lid]
+    active &= hl > 0
+
+    s = np.where(model == 3,
+                 hl * (1.0 + np.log1p(np.maximum(
+                     np.pad(cols.count[:n].astype(np.float64),
+                            (0, cap - n)), 0.0))),
+                 hl)
+    invhl = np.where(active & (s > 0), 1.0 / np.where(s > 0, s, 1.0), 0.0)
+    ref_rel = np.where(active, ref64 - epoch, 0.0)
+    return DecayDevice(
+        epoch=epoch,
+        ref=jnp.asarray(ref_rel.astype(np.float32)),
+        invhl=jnp.asarray(invhl.astype(np.float32)),
+        model=jnp.asarray(model))
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
-def _fuse_topk(d, rows, tr, tsn, alpha, scale, k):
+def _fuse_topk(d, rows, tr, tsn, alpha, scale, k, decay=None, now_rel=None):
     """d [B,F] f32 distances (inf-masked), rows [B,F] i32 (-1 pads),
     tr [T] i32 ascending text-candidate rows (_PAD_ROW pads),
     tsn [T] f32 normalized text scores (0 at pads).
+    decay: optional (ref, invhl, model) [cap] arrays (DecayDevice fields)
+    + now_rel (f32 seconds rel. the mirror epoch) — applies the per-row
+    time-decay multiplier on device (ops.go:1100-1186 semantics), so
+    memory-enabled indexes keep the one-round-trip epilogue.
     Returns (fused scores [B,k] desc, rows [B,k] i32, distances [B,k])."""
     B, F = d.shape
     T = tr.shape[0]
@@ -69,6 +141,21 @@ def _fuse_topk(d, rows, tr, tsn, alpha, scale, k):
 
     R_all = jnp.concatenate(
         [rows, jnp.broadcast_to(tr, (B, T))], axis=1)
+    if decay is not None:
+        ref, invhl, model = decay
+        cap = ref.shape[0]
+        safe = jnp.clip(R_all, 0, cap - 1)   # pads masked -inf already
+        x = jnp.maximum(now_rel - ref[safe], 0.0) * invhl[safe]
+        m = model[safe]
+        # 0.5**(age/hl) = exp2(-x); inactive rows have invhl=0 → x=0 →
+        # factor 1 under every model
+        factor = jnp.select(
+            [m == 1, m == 2, m == 3],
+            [jnp.maximum(0.0, 1.0 - 0.5 * x),
+             jnp.where(x < 1.0, 1.0, 0.5),
+             jnp.exp(-x)],
+            jnp.exp2(-x))
+        fused = jnp.where(jnp.isfinite(fused), fused * factor, fused)
     d_all = jnp.concatenate(
         [jnp.where(valid, d, jnp.inf), jnp.full((B, T), jnp.inf)], axis=1)
     kk = min(k, F + T)
@@ -83,6 +170,10 @@ def prepare_text(text_rows: np.ndarray, text_vals: np.ndarray,
     """Host prep: keep the top cap_t text candidates, min-max normalize
     their scores (search_utils.go:48-55), sort by row, pad to a power of
     two so every (B, F, T) triple reuses one compiled program."""
+    if text_rows.size == 0:
+        # vector-only call routed through the fused epilogue (decay-on
+        # path): an all-pad text block contributes nothing
+        return (np.full(64, _PAD_ROW, np.int32), np.zeros(64, np.float32))
     if text_rows.size > cap_t:
         sel = np.argpartition(text_vals, text_vals.size - cap_t)[-cap_t:]
         tr, ts = text_rows[sel], text_vals[sel]
@@ -104,13 +195,22 @@ def prepare_text(text_rows: np.ndarray, text_vals: np.ndarray,
 
 def fused_topk(d_dev, rows_dev, text_rows: np.ndarray,
                text_vals: np.ndarray, alpha: float, k: int,
-               scale: float, cap_t: int
+               scale: float, cap_t: int,
+               decay_dev: Optional[DecayDevice] = None,
+               now: Optional[float] = None
                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full hybrid epilogue: text prep on host (the BM25 candidate list is
     shared by the whole batch — a few hundred rows), fusion + top-k on
-    device chained onto the scan outputs, one blocking fetch."""
+    device chained onto the scan outputs, one blocking fetch. With
+    decay_dev, the time-decay multiplier applies on device too."""
     tr, tsn = prepare_text(text_rows, text_vals, cap_t)
+    dec = now_rel = None
+    if decay_dev is not None:
+        dec = (decay_dev.ref, decay_dev.invhl, decay_dev.model)
+        now_rel = jnp.float32((now if now is not None else time.time())
+                              - decay_dev.epoch)
     sc, rw, dd = _fuse_topk(d_dev, rows_dev.astype(jnp.int32),
                             jnp.asarray(tr), jnp.asarray(tsn),
-                            jnp.float32(alpha), jnp.float32(scale), k)
+                            jnp.float32(alpha), jnp.float32(scale), k,
+                            decay=dec, now_rel=now_rel)
     return jax.device_get((sc, rw, dd))

@@ -114,8 +114,9 @@ class TestDeviceFusedHybridParity:
             assert out["scores"].dtype == np.float32
             assert len(out["ids"]) == 4 and len(out["ids"][0]) == 5
 
-    def test_decay_path_still_host(self):
-        """memory.enabled + decay=True must keep working (host fusion)."""
+    def test_decay_path_works(self):
+        """memory.enabled + decay=True routes through the device epilogue
+        and still returns sane hits."""
         e, X, rng = _build(n=64)
         from kektordb_tpu.engine import fusion
         e.indexes["t"].memory = fusion.MemoryConfig(
@@ -123,6 +124,134 @@ class TestDeviceFusedHybridParity:
         q = rng.normal(size=(2, 16)).astype(np.float32)
         hits = e.search("t", q, k=5, text_query="tok3", alpha=0.5)
         assert hits[0]
+
+
+def _build_decayed(n=200, d=16, seed=11, model="exponential",
+                   half_life=3600.0, layers=None):
+    """Index where rows carry staggered ages / access counts / pins so the
+    decay multiplier actually reorders results."""
+    import time as _t
+    from kektordb_tpu.engine import fusion
+    e = mk()
+    e.create_index("t", m=8)
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    now = _t.time()
+    metas = []
+    for i in range(n):
+        m = {"body": f"alpha tok{i % 7} beta tok{i % 13}",
+             "_indexed_fields": ["body"],
+             "_created_at": now - (i % 37) * 600.0,
+             "_access_count": i % 5}
+        if i % 11 == 0:
+            m["_pinned"] = True
+        if i % 13 == 0:
+            m["_last_accessed"] = now - (i % 7) * 60.0
+        if layers and i % 3 == 0:
+            m["_memory_layer"] = "episodic"
+        metas.append(m)
+    e.add_batch("t", [f"v{i}" for i in range(n)], X, metas)
+    e.indexes["t"].memory = fusion.MemoryConfig(
+        enabled=True, decay_half_life=half_life, decay_model=model,
+        layers=layers or {})
+    return e, X, rng
+
+
+class TestDeviceDecayParity:
+    """Decay folded into the device epilogue (ops/fuse.py DecayDevice) vs
+    the host _assemble_fused + fusion.decay_factors path — same
+    search_utils.go:91-141 semantics, one device round trip."""
+
+    @pytest.mark.parametrize("model", ["exponential", "linear", "step",
+                                       "ebbinghaus"])
+    def test_hybrid_decay_matches_host(self, model):
+        e, X, rng = _build_decayed(model=model)
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        kw = dict(k=10, text_query="tok3 alpha", alpha=0.6, decay=True)
+        got = e.search("t", q, **kw)
+        _force_host(e, "t")
+        want = e.search("t", q, **kw)
+        for g, w in zip(got, want):
+            gs = sorted(_ids_scores(g)[1])
+            ws = sorted(_ids_scores(w)[1])
+            assert np.allclose(gs, ws, atol=2e-3), (model, gs, ws)
+            assert g[0]["id"] == w[0]["id"]
+
+    def test_vector_only_decay_matches_host(self):
+        e, X, rng = _build_decayed(half_life=1800.0)
+        q = rng.normal(size=(5, 16)).astype(np.float32)
+        got = e.search("t", q, k=8, decay=True)
+        _force_host(e, "t")
+        want = e.search("t", q, k=8, decay=True)
+        for g, w in zip(got, want):
+            assert np.allclose(sorted(_ids_scores(g)[1]),
+                               sorted(_ids_scores(w)[1]), atol=2e-3)
+            assert g[0]["id"] == w[0]["id"]
+
+    def test_layer_overrides_match_host(self):
+        from kektordb_tpu.engine import fusion
+        layers = {"episodic": fusion.LayerConfig(
+            decay_half_life=300.0, decay_model="linear")}
+        e, X, rng = _build_decayed(layers=layers)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        got = e.search("t", q, k=10, decay=True)
+        _force_host(e, "t")
+        want = e.search("t", q, k=10, decay=True)
+        for g, w in zip(got, want):
+            assert np.allclose(sorted(_ids_scores(g)[1]),
+                               sorted(_ids_scores(w)[1]), atol=2e-3)
+
+    def test_pinned_rows_never_decay(self):
+        """A pinned stale row must outrank an equally-near unpinned stale
+        row after decay (device path)."""
+        import time as _t
+        from kektordb_tpu.engine import fusion
+        e = mk()
+        e.create_index("t", m=8)
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(16,)).astype(np.float32)
+        old = _t.time() - 10 * 3600.0
+        # two near-identical vectors, both ancient; only one pinned
+        e.add("t", "pinned", (base + 1e-3).tolist(),
+              metadata={"_created_at": old, "_pinned": True})
+        e.add("t", "stale", (base + 2e-3).tolist(),
+              metadata={"_created_at": old})
+        for i in range(20):
+            e.add("t", f"far{i}",
+                  (rng.normal(size=16) * 8).astype(np.float32).tolist())
+        e.indexes["t"].memory = fusion.MemoryConfig(
+            enabled=True, decay_half_life=600.0)   # 10h >> 10min half-life
+        hits = e.search("t", base, k=4, decay=True)[0]
+        ids = [h["id"] for h in hits]
+        assert ids[0] == "pinned"
+        sc = {h["id"]: h["score"] for h in hits}
+        assert "stale" not in sc or sc["pinned"] > sc["stale"] * 100
+
+    def test_decay_mirror_invalidates_on_reinforce(self):
+        """Reinforcing a decayed row refreshes _last_accessed → the device
+        mirror (version-keyed) must rebuild and restore its rank."""
+        import time as _t
+        from kektordb_tpu.engine import fusion
+        e = mk()
+        e.create_index("t", m=8)
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(16,)).astype(np.float32)
+        old = _t.time() - 10 * 3600.0
+        e.add("t", "tired", (base + 1e-3).tolist(),
+              metadata={"_created_at": old})
+        e.add("t", "fresh", (base + 2e-2).tolist(),
+              metadata={"_created_at": _t.time()})
+        # far decoys so min-max doesn't pin "fresh" to similarity 0
+        for i in range(20):
+            e.add("t", f"far{i}",
+                  (rng.normal(size=16) * 8).astype(np.float32).tolist())
+        e.indexes["t"].memory = fusion.MemoryConfig(
+            enabled=True, decay_half_life=600.0)
+        first = e.search("t", base, k=2, decay=True)[0]
+        assert first[0]["id"] == "fresh"    # decay buried the nearer row
+        e.reinforce("t", "tired")           # bumps _last_accessed → now
+        second = e.search("t", base, k=2, decay=True)[0]
+        assert second[0]["id"] == "tired"   # mirror rebuilt, rank restored
 
 
 if __name__ == "__main__":
