@@ -55,6 +55,45 @@ def make_sift_like(n: int, d: int = 128, seed: int = 1234) -> np.ndarray:
     return out
 
 
+def _mc_client(port: int, qblob: bytes, shape, B: int, n_req: int, outq):
+    """One external client PROCESS for the multi-client capacity section:
+    builds its plain-JSON payloads up front, warms once, then posts n_req
+    batched searches sequentially and reports (t_start, t_end, queries).
+    Separate processes = zero GIL sharing with the server — the honest
+    version of the 16-way concurrency claim (VERDICT r4 #5)."""
+    import http.client
+    import json as _json
+    import time as _time
+
+    import numpy as _np
+
+    q = _np.frombuffer(qblob, _np.float32).reshape(shape)
+    bodies = []
+    for i in range(n_req):
+        w = q[(i * B) % max(len(q) - B, 1):][:B]
+        bodies.append(_json.dumps(
+            {"index_name": "bench", "k": 10,
+             "query_vectors": w.tolist()}).encode())
+
+    # persistent connection: a fresh TCP handshake per request cost ~3x
+    # at this request rate (urllib has no keep-alive)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+    def post(body: bytes) -> None:
+        conn.request("POST", "/vector/actions/search", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 200
+
+    post(bodies[0])                          # per-client connection warm
+    t0 = _time.time()
+    for b in bodies:
+        post(b)
+    outq.put((t0, _time.time(), n_req * B))
+    conn.close()
+
+
 def _bench_http(idx, queries: np.ndarray, qbatch: int) -> dict:
     """Full HTTP path: aiohttp server in-process + pipelined client
     requests carrying batched queries. Measures the plain-JSON wire
@@ -132,6 +171,31 @@ def _bench_http(idx, queries: np.ndarray, qbatch: int) -> dict:
             assert all(o.get("shape") == [B2, 10] and
                        ("ids_b64" in o or len(o["ids"]) == B2)
                        for o in outs)
+
+        # multi-client capacity (VERDICT r4 #5): 4 separate client
+        # PROCESSES hammer the plain-JSON wire — no GIL sharing with the
+        # server, unlike the colocated sections above. Spawned (not
+        # forked) so children never inherit live TPU/event-loop state;
+        # the server keeps serving on this loop via to_thread.
+        def drive_clients():
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            outq = ctx.Queue()
+            B3, n3, n_clients = 512, 6, 4
+            qmc = np.ascontiguousarray(queries[:8192], np.float32)
+            procs = [ctx.Process(target=_mc_client,
+                                 args=(port, qmc.tobytes(), qmc.shape,
+                                       B3, n3, outq), daemon=True)
+                     for _ in range(n_clients)]
+            for p in procs:
+                p.start()
+            res = [outq.get(timeout=300) for _ in procs]
+            for p in procs:
+                p.join(timeout=60)
+            span = max(e for _, e, _ in res) - min(t for t, _, _ in res)
+            return sum(nq_ for _, _, nq_ in res) / max(span, 1e-9)
+
+        out["http_multiclient_qps"] = await asyncio.to_thread(drive_clients)
         await runner.cleanup()
         return out
 
@@ -713,7 +777,9 @@ def main() -> None:
         # on host RAM. Full-dim sweep measured once for the ratio.
         from kektordb_tpu.index.hostarena import HostArenaIndex
         hq_a = aq[:1024]
-        hfull = HostArenaIndex(384, dist.COSINE)
+        # proj_dim=0 pins the FULL-dim sweep (this row is the deliberate
+        # transport-bound diagnostic; the default would auto-project)
+        hfull = HostArenaIndex(384, dist.COSINE, proj_dim=0)
         hfull.add_batch([f"af{i}" for i in range(na)], abase)
         _ = hfull.search(hq_a, 10)              # warm the chunk compiles
         t0 = time.time()
@@ -761,26 +827,6 @@ def main() -> None:
         mask = filtlib.evaluate_mask("grp = 7 AND score > 0.25", h.meta,
                                      live)
         extras["filter_eval_1m_ms"] = round((time.time() - t0) * 1e3, 1)
-        # warm the filtered engine program first: the timed region measures
-        # filter evaluation + engine path + device scan, not the one-off
-        # remote compile (which the first call pays)
-        r = eng.search("bench", queries[:1024], k=10,
-                       filter="grp = 7 AND score > 0.25", decay=False)
-        t0 = time.time()
-        ran_q = 0
-        for j in range(2):
-            # wrapping window: nq may be < 2048 in smoke runs — an empty
-            # tail slice would recompile (and return no batches) here
-            at = (j * 1024) % max(len(queries) - 1024, 1)
-            win = queries[at:at + 1024]
-            tw = time.time()
-            r = eng.search("bench", win, k=10,
-                           filter="grp = 7 AND score > 0.25", decay=False)
-            twin(f"filtered_win{j}", tw)
-            ran_q += len(win)
-        extras["filtered_real_filter_qps"] = round(
-            ran_q / (time.time() - t0), 1)
-        assert all(hh["id"] for hh in r[0]), "filtered search returned junk"
         del metas_1m
 
         # BM25 text over a 100k subset + hybrid fusion
@@ -793,58 +839,92 @@ def main() -> None:
                                 f"{words[rr % 512]} {words[(rr * 7) % 512]} "
                                 f"{words[(rr * 13) % 512]}")
         extras["bm25_ingest_100k_s"] = round(time.time() - t0, 1)
-        # B=1024 windows — the same batched methodology as every other
-        # serving section (the flagship uses 4096); hybrid fuses on device
-        # (ops/fuse.py) so a window costs one scan+fuse round trip
-        _ = eng.search("bench", queries[:1024], k=10, text_query="tok7 tok42",
-                       alpha=0.5, decay=False)
+
+        # the 1M-row metadata corpus is now static serving state: exempt
+        # it from gc tracking, exactly as a production serving process
+        # would (a gen-2 collection over ~10M objects cost a measured
+        # ~400 ms latency spike on the first post-ingest search window)
+        import gc
+        gc.collect()
+        gc.freeze()
+
+        def eng_win(j, B):
+            # wrapping window keeps every batch exactly [B, d] — a short
+            # or empty tail slice would recompile inside the timed loop
+            at = (j * B) % max(len(queries) - B, 1)
+            return queries[at:at + B]
+
+        def eng_qps(metric, warms=3, windows=6, B=qbatch, **kw):
+            """served_qps methodology (VERDICT r4 #1/#3): B=qbatch
+            windows, 3 warm calls — the first post-warm batch through
+            this tunnel intermittently carries a ~1 s dispatch tail, and
+            one warm call is not enough (NOTES.md)."""
+            for _w in range(warms):
+                r = eng.search("bench", eng_win(0, B), k=10, **kw)
+            t0 = time.time()
+            for j in range(windows):
+                tw = time.time()
+                r = eng.search("bench", eng_win(j, B), k=10, **kw)
+                twin(f"{metric}_win{j}", tw)
+            extras[metric] = round(windows * B / (time.time() - t0), 1)
+            return r
+
+        # REAL-filter serving: filter evaluation + engine path + device
+        # scan. Columnar assembly per VERDICT r4 #3 (the comparison target
+        # is served_columnar_qps); the mask cache makes windows 2+ pure
+        # hits — counters recorded below prove it.
+        r = eng_qps("filtered_real_filter_qps", columnar=True,
+                    filter="grp = 7 AND score > 0.25", decay=False)
+        assert all(r["ids"][0]), "filtered search returned junk"
+        mc = eng.index_info("bench")["mask_cache"]
+        extras["filter_mask_cache_hits"] = mc["hits"]
+        extras["filter_mask_cache_misses"] = mc["misses"]
+
         rtt_probe("pre_hybrid")
-        t0 = time.time()
-        ran_q = 0
-        for j in range(4):
-            at = (j * 1024) % max(len(queries) - 1024, 1)
-            win = queries[at:at + 1024]
-            tw = time.time()
-            _ = eng.search("bench", win, k=10,
-                           text_query="tok7 tok42", alpha=0.5, decay=False)
-            twin(f"hybrid_win{j}", tw)
-            ran_q += len(win)
-        extras["hybrid_qps"] = round(ran_q / (time.time() - t0), 1)
+        # hybrid fuses on device (ops/fuse.py): a window costs one
+        # scan+fuse round trip; dict (non-columnar) assembly like served_qps
+        eng_qps("hybrid_qps", text_query="tok7 tok42", alpha=0.5,
+                decay=False)
 
         # hybrid WITH a metadata filter folded in (BASELINE.json config 4:
         # "HNSW + BM25 keyword fusion with metadata filters")
-        _ = eng.search("bench", queries[:1024], k=10,
-                       text_query="tok7 tok42", alpha=0.5,
-                       filter="grp = 7", decay=False)
-        t0 = time.time()
-        ran_q = 0
-        for j in range(4):
-            at = (j * 1024) % max(len(queries) - 1024, 1)
-            win = queries[at:at + 1024]
-            _ = eng.search("bench", win, k=10,
-                           text_query="tok7 tok42", alpha=0.5,
-                           filter="grp = 7", decay=False)
-            ran_q += len(win)
-        extras["hybrid_filtered_qps"] = round(
-            ran_q / (time.time() - t0), 1)
+        eng_qps("hybrid_filtered_qps", text_query="tok7 tok42", alpha=0.5,
+                filter="grp = 7", decay=False)
+
+        # hybrid WITH time decay (VERDICT r4 #1): memory-enabled indexes
+        # (the mcp_memory agent-memory shape) route through the same device
+        # epilogue with the per-row decay spec in a version-keyed device
+        # mirror. Stamp staggered ages on the text subset, then serve.
+        now_d = time.time()
+        # set_batch replaces these rows' metadata wholesale (remove +
+        # reinsert) — carry the body text through so the BM25 postings
+        # survive for the decayed-hybrid windows
+        dmetas = [{"grp": i % 100,
+                   "score": (i * 2654435761 % 1000) / 1000,
+                   "_created_at": now_d - (i % 720) * 3600.0,
+                   "_access_count": i % 7,
+                   "_indexed_fields": ["body"],
+                   "body": f"{words[i % 512]} {words[(i * 7) % 512]} "
+                           f"{words[(i * 13) % 512]}"}
+                  for i in range(nt)]
+        h.meta.set_batch(range(nt), dmetas)
+        del dmetas
+        eng.configure_index(
+            "bench", {"memory": {"enabled": True,
+                                 "decay_half_life": 30 * 24 * 3600.0}})
+        eng_qps("hybrid_decay_qps", text_query="tok7 tok42", alpha=0.5,
+                decay=True)
+        # decayed vector-only serving (same device path, no text branch)
+        eng_qps("decay_qps", decay=True)
+        eng.configure_index("bench", {"memory": {"enabled": False}})
 
         # graph-restricted: allow set = 2-hop neighborhood of a root node
         rng_g = np.random.default_rng(5)
         for i in range(2000):
             eng.link("bench", f"v{i}", "rel",
                      f"v{int(rng_g.integers(0, 2000))}", _journal=False)
-        _ = eng.search("bench", queries[:1024], k=10, graph_root="v0",
-                       graph_depth=2, decay=False)
-        t0 = time.time()
-        ran_q = 0
-        for j in range(4):
-            at = (j * 1024) % max(len(queries) - 1024, 1)
-            win = queries[at:at + 1024]
-            _ = eng.search("bench", win, k=10,
-                           graph_root="v0", graph_depth=2, decay=False)
-            ran_q += len(win)
-        extras["graph_restricted_qps"] = round(
-            ran_q / (time.time() - t0), 1)
+        eng_qps("graph_restricted_qps", graph_root="v0", graph_depth=2,
+                decay=False)
         eng.indexes.pop("bench")
         eng.close()
         mark("meta+hybrid+graph")
@@ -856,6 +936,9 @@ def main() -> None:
         # module docstring) — this records the measured operating point on
         # this host↔device link at 1M rows.
         from kektordb_tpu.index.hostarena import HostArenaIndex
+        # DEFAULT config (VERDICT r4 #6): proj_dim="auto" — at 1M rows the
+        # index enables its projected mirror itself, so this row records
+        # what a user gets out of the box
         hidx = HostArenaIndex(d, dist.L2)
         hidx.add_batch([f"h{i}" for i in range(n)], base)
         hq = queries[:qbatch]
@@ -866,10 +949,14 @@ def main() -> None:
             hd, hr = hidx.search(hq, 10)
         dt = time.time() - t0
         extras["host_arena_qps"] = round(reps * qbatch / dt, 1)
-        # every search streams the whole arena host->device once: the
+        extras["host_arena_proj_dim"] = hidx.proj_dim   # 0 = full sweep
+        # every search streams the whole mirror host->device once: the
         # measured link rate bounds this operating point (real PCIe is
         # 10-50 GB/s; the bench tunnel is far slower — see NOTES.md)
-        bytes_per_sweep = hidx._cap * d * hidx._vectors.dtype.itemsize
+        if hidx.proj_dim:
+            bytes_per_sweep = hidx._cap * hidx.proj_dim * 2   # bf16 mirror
+        else:
+            bytes_per_sweep = hidx._cap * d * hidx._vectors.dtype.itemsize
         extras["host_arena_h2d_gbps"] = round(
             reps * bytes_per_sweep / dt / 1e9, 3)
         ns_h = min(sample, qbatch)
@@ -968,7 +1055,22 @@ def main() -> None:
         **extras,
     }
     _track_regressions(result)
-    print(json.dumps(result))
+    # ONE JSON line, but ordered so the driver's 2000-char TAIL capture
+    # keeps the flagship record (VERDICT r4 #7: BENCH_r04's tail truncated
+    # everything before the GloVe rows): extras + per-metric deltas print
+    # first, the headline block (value / recall / build / regressions)
+    # prints LAST and is small enough to always survive.
+    headline_keys = [
+        "regressions", "regression_notes", "metric", "unit",
+        "vs_baseline", "value", "sync_qps",
+        "recall_at_10", "recall_at_10_eps1e3", "reference_recall_at_10",
+        "build_s", "ingest_only_s", "reference_build_s", "build_speedup",
+        "hybrid_qps", "hybrid_decay_qps",
+        "n", "n_queries", "query_batch", "device",
+    ]
+    emit = {k: v for k, v in result.items() if k not in headline_keys}
+    emit.update({k: result[k] for k in headline_keys if k in result})
+    print(json.dumps(emit))
 
 
 def _track_regressions(result: dict) -> None:
@@ -1019,8 +1121,36 @@ def _track_regressions(result: dict) -> None:
     result[f"deltas_vs_r{rnd.group(1) if rnd else '?'}"] = deltas
     if regressions:
         result["regressions"] = regressions
+        noted = {m: REGRESSION_NOTES[m]
+                 for m in (r.split(":")[0] for r in regressions)
+                 if m in REGRESSION_NOTES}
+        if noted:
+            result["regression_notes"] = noted
         for r in regressions:
             print(f"[bench] REGRESSION {r}", file=sys.stderr, flush=True)
+
+
+# act-on-regression discipline (VERDICT r4 #2): a shouted regression must
+# either be fixed or carry a one-line explanation EMITTED IN THE RESULT.
+# Keys are metric names; entries apply only when that metric regresses.
+REGRESSION_NOTES = {
+    "aniso_host_full_qps":
+        "full-dim host sweep is H2D transport-bound; the bench tunnel "
+        "link fluctuates run-to-run (measured 0.006-0.055 GB/s) — the "
+        "supported beyond-HBM operating point is the projected mirror "
+        "(aniso_host_proj32_qps / host-arena auto-proj), not full-dim",
+    "host_arena_h2d_gbps":
+        "same tunnel-link fluctuation as aniso_host_full_qps (shared "
+        "transport, not a code path)",
+    "host_arena_qps":
+        "H2D transport-bound sweep on the shared bench tunnel; see "
+        "aniso_host_full_qps note",
+    "int8_qps":
+        "asymmetric int8 scoring (r4) trades one bf16 matmul pass for "
+        "+0.014 recall (0.9648->0.9784, within 0.0005 of the int8 code "
+        "ceiling); symmetric operating point remains available via an "
+        "int8-encoded query (NOTES.md, 'int8 operating points')",
+}
 
 
 if __name__ == "__main__":

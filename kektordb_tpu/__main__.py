@@ -62,6 +62,15 @@ def main(argv=None) -> int:
             args.coordinator,
             num_processes=args.num_processes or None,
             process_id=args.process_id if args.process_id >= 0 else None)
+        if args.num_processes > 0:
+            import jax
+            got = jax.process_count()
+            if got != args.num_processes:
+                # an explicitly requested cluster size MUST form — serving
+                # a partial replica set silently would split the brain
+                raise SystemExit(
+                    f"distributed init yielded {got} processes, "
+                    f"--num-processes asked for {args.num_processes}")
 
     if args.mode == "tui":
         from .client.tui import main as tui_main

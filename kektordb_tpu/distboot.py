@@ -46,6 +46,13 @@ def init_distributed(coordinator: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
         return True
-    except RuntimeError:
-        # already initialized (idempotent callers: CLI retry, tests)
-        return jax.process_count() > 1
+    except RuntimeError as exc:
+        # Benign ONLY when the runtime is already initialized (idempotent
+        # callers: CLI retry, tests). A wrong coordinator address or a
+        # connect timeout must propagate — silently degrading a requested
+        # cluster join to single-process serving hides a split brain.
+        if "already initialized" in str(exc).lower() or \
+                getattr(jax.distributed.global_state, "client", None) \
+                is not None:
+            return jax.process_count() > 1
+        raise

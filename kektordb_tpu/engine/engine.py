@@ -82,6 +82,11 @@ class IndexHandle:
         # ~50 ms/call 1M-bool host→device upload on the serving tunnel
         # (measured, scripts/profile_hybrid.py). Bounded LRU.
         self.mask_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        # hit/miss counters — exposed via index_info so operators (and the
+        # bench) can PROVE the cache is being hit rather than re-evaluating
+        # the predicate per call
+        self.mask_hits = 0
+        self.mask_misses = 0
         # device decay mirror: (key, MemoryConfig identity, DecayDevice).
         # Rebuilt when decay columns mutate (DecayColumns.version), the
         # memory config is replaced, cap grows, or the f32 epoch ages out.
@@ -168,7 +173,7 @@ class Engine:
                      language: str = "english", kind: str = "hnsw",
                      seed: int = 42, shards: int = 0,
                      serve_mode: str = "auto",
-                     serve_proj_dim: int = 0,
+                     serve_proj_dim: Optional[int] = None,
                      serve_proj_rerank: int = 128,
                      _journal: bool = True) -> None:
         """VCREATE (ops.go VCreate). Duplicate names are an error
@@ -195,17 +200,21 @@ class Engine:
                     raise ValueError(
                         f"shards={shards} but only {len(jax.devices())} "
                         "devices are visible")
+            # serve_proj_dim=None = unset: HNSW treats it as off (0);
+            # host arenas treat it as "auto" (the projected mirror enables
+            # itself once the arena outgrows one streamed chunk —
+            # hostarena._maybe_auto_proj). An explicit 0 forces full-dim.
             cfg = HNSWConfig(m=m, ef_construction=ef_construction,
                              ef_search=ef_search, seed=seed,
                              serve_mode=serve_mode,
-                             serve_proj_dim=serve_proj_dim,
+                             serve_proj_dim=serve_proj_dim or 0,
                              serve_proj_rerank=serve_proj_rerank)
             # dimension is fixed lazily on first add, like the reference's
             # dim-on-first-insert; store a factory thunk
-            handle = IndexHandle(name,
-                                 _LazyIndex(metric, precision, cfg,
-                                            kind=kind, shards=shards),
-                                 language=language)
+            lazy = _LazyIndex(metric, precision, cfg,
+                              kind=kind, shards=shards)
+            lazy.proj_request = serve_proj_dim
+            handle = IndexHandle(name, lazy, language=language)
             self.indexes[name] = handle
             if _journal:
                 self._journal("VCREATE", name, metric, precision,
@@ -255,6 +264,10 @@ class Engine:
             "memory_report": idx.memory_report()
             if hasattr(idx, "memory_report") else {},
             "text": h.meta.text.stats(),
+            # proof the materialized-mask cache works (reference analog:
+            # per-(key,value) roaring bitmaps, core.go:944 — always "hit")
+            "mask_cache": {"entries": len(h.mask_cache),
+                           "hits": h.mask_hits, "misses": h.mask_misses},
         }
 
     def configure_index(self, name: str, config: dict[str, Any],
@@ -320,6 +333,7 @@ class Engine:
                     h.index.proj_dim = max(0,
                                            int(config["serve_proj_dim"])) \
                         if h.index.precision == dist.F32 else 0
+                    h.index._proj_auto = False   # explicit knob wins
                     h.index._proj_basis = None
                     h.index._proj_vecs = None
                     h.index._proj_norms = np.zeros((0,), np.float32)
@@ -488,9 +502,10 @@ class Engine:
             # host-RAM arena + chunk-streamed device scan: single-chip
             # capacity bounded by host memory, not HBM (index/hostarena.py)
             from ..index.hostarena import HostArenaIndex
+            req = getattr(lazy, "proj_request", lazy.cfg.serve_proj_dim)
             h.index = HostArenaIndex(
                 dim, lazy.metric, lazy.precision,
-                proj_dim=lazy.cfg.serve_proj_dim,
+                proj_dim="auto" if req is None else req,
                 proj_rerank=lazy.cfg.serve_proj_rerank)
         elif lazy.shards > 1:
             from ..parallel.sharded import ShardedHNSW, make_mesh
@@ -624,6 +639,7 @@ class Engine:
                    getattr(idx.ids, "version", -1), cap)
             ent = h.mask_cache.get(key)
             if ent is None:
+                h.mask_misses += 1
                 if filter:
                     allow = filtlib.evaluate_mask(filter, h.meta, live)
                 if graph_root:
@@ -647,6 +663,7 @@ class Engine:
                     except KeyError:     # raced with another reader's evict
                         break
             else:
+                h.mask_hits += 1
                 # searches run under the SHARED lock side — two threads can
                 # race a hit against an insert's eviction of the same key.
                 # The entry tuple is already held locally, so a lost LRU
@@ -919,23 +936,26 @@ class Engine:
                             top_d[:, :k], np.float32)}
             sc_l = top_sc.astype(np.float64).round(6).tolist()
             d_l = top_d.astype(np.float64).round(5).tolist()
-            fin_d = np.isfinite(top_d)
+            fin_l = fin.tolist()
+            find_l = np.isfinite(top_d).tolist()
+            rows_l = top_rows.tolist()
             col_ids: list[list] = []
             col_s: list[list] = []
             col_d: list[list] = []
             col_m: list[list] = []
             for b in range(B):
+                rb, sb, db = rows_l[b], sc_l[b], d_l[b]
+                fb, fdb = fin_l[b], find_l[b]
                 ids_b, s_b, d_b, m_b = [], [], [], []
-                for j in range(kk):
-                    if not fin[b, j]:
+                for j, r in enumerate(rb):
+                    if not fb[j] or not 0 <= r < n_rows:
                         continue
-                    r = int(top_rows[b, j])
-                    ext = row_to_ext[r] if 0 <= r < n_rows else None
+                    ext = row_to_ext[r]
                     if ext is None:
                         continue
                     ids_b.append(ext)
-                    s_b.append(sc_l[b][j])
-                    d_b.append(d_l[b][j] if fin_d[b, j] else None)
+                    s_b.append(sb[j])
+                    d_b.append(db[j] if fdb[j] else None)
                     if include_metadata:
                         m_b.append(get_meta(r) or {})
                 col_ids.append(ids_b)
@@ -947,22 +967,28 @@ class Engine:
             if include_metadata:
                 out_c["metadata"] = col_m
             return out_c
+        # plain-list iteration end to end: per-element ndarray indexing
+        # (fin[b, j] / int(top_rows[b, j])) cost ~13 ms per 1024 queries —
+        # the dominant host cost of the device-fused serving path
         sc_l = top_sc.tolist()
         d_l = top_d.tolist()
-        fin_d = np.isfinite(top_d)
+        fin_l = fin.tolist()
+        find_l = np.isfinite(top_d).tolist()
+        rows_l = top_rows.tolist()
         out: list[list[dict[str, Any]]] = []
         for b in range(B):
+            rb, sb, db = rows_l[b], sc_l[b], d_l[b]
+            fb, fdb = fin_l[b], find_l[b]
             hits = []
-            for j in range(kk):
-                if not fin[b, j]:
+            for j, r in enumerate(rb):
+                if not fb[j] or not 0 <= r < n_rows:
                     continue
-                r = int(top_rows[b, j])
-                ext = row_to_ext[r] if 0 <= r < n_rows else None
+                ext = row_to_ext[r]
                 if ext is None:
                     continue
-                hit = {"id": ext, "score": float(sc_l[b][j])}
-                if fin_d[b, j]:
-                    hit["distance"] = d_l[b][j]
+                hit = {"id": ext, "score": sb[j]}
+                if fdb[j]:
+                    hit["distance"] = db[j]
                 if include_metadata:
                     hit["metadata"] = get_meta(r) or {}
                 hits.append(hit)

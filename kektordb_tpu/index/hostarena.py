@@ -61,7 +61,7 @@ class HostArenaIndex:
 
     def __init__(self, dim: int, metric: str = dist.L2,
                  precision: str = dist.F32, chunk_rows: int = CHUNK_ROWS,
-                 proj_dim: int = 0, proj_rerank: int = 128):
+                 proj_dim: "int | str" = "auto", proj_rerank: int = 128):
         if metric not in dist.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
         if precision not in dist.PRECISIONS:
@@ -86,13 +86,24 @@ class HostArenaIndex:
         self._norms = np.zeros((0,), np.float32)
         self._valid = np.zeros((0,), bool)
         self.quantizer = quant.empty_state()
-        # opt-in projected sweep: the host arena is H2D-bound, so
-        # streaming a [cap, p] bf16 projection instead of the full
-        # arena cuts the transfer by (D*bytes)/(p*2)x; candidates are
-        # then exactly re-ranked ON HOST from the full-dim numpy arena
-        # (a [B, C, D] gather+einsum — trivial beside the sweep).
-        # f32 arenas only; same isotropy caveat as HNSWConfig.
-        self.proj_dim = proj_dim if precision == dist.F32 else 0
+        # projected sweep: the host arena is H2D-bound, so streaming a
+        # [cap, p] bf16 projection instead of the full arena cuts the
+        # transfer by (D*bytes)/(p*2)x; candidates are then exactly
+        # re-ranked ON HOST from the full-dim numpy arena (a [B, C, D]
+        # gather+einsum — trivial beside the sweep). f32 arenas only.
+        # proj_dim="auto" (the DEFAULT, VERDICT r4 #6): the mirror
+        # switches on by itself once the arena outgrows one streamed
+        # chunk — at that scale every sweep is transport-bound on any
+        # link (even 50 GB/s PCIe moves p*2 bytes ~(D*4)/(p*2)x faster),
+        # and the exact re-rank keeps recall within ~0.02 of full-dim
+        # (measured 0.9811 vs 0.9954 @ 32-of-384d anisotropic).
+        # proj_dim=0 forces the full-dim sweep; >0 pins an explicit p.
+        self._proj_auto = proj_dim == "auto" or \
+            (isinstance(proj_dim, int) and proj_dim < 0)
+        if self._proj_auto or precision != dist.F32:
+            self.proj_dim = 0
+        else:
+            self.proj_dim = int(proj_dim)
         self.proj_rerank = proj_rerank
         self._proj_basis: Optional[np.ndarray] = None    # [D, p] f32
         self._proj_vecs = None                           # [cap, p] bf16
@@ -258,11 +269,32 @@ class HostArenaIndex:
                 # would wrap to the arena tail
                 allow[a[(a >= 0) & (a < self._cap)]] = True
 
+        self._maybe_auto_proj()
         if self.proj_dim and self._proj_basis is None:
             self._project_rows(np.empty(0, np.int64))    # fit on demand
         if self._proj_basis is not None and self.precision == dist.F32:
             return self._search_projected(queries, q, B, k, allow)
         return self._search_fulldim(q, qn, B, k, allow)
+
+    def _maybe_auto_proj(self) -> None:
+        """Resolve proj_dim="auto": enable the projected mirror once the
+        arena spans more than one streamed chunk (beyond that every sweep
+        is H2D-transport-bound regardless of link speed). p=32 matches
+        the measured operating point that beats the reference at 384d
+        (aniso_host_proj32, BENCH); dims < 64 keep the full sweep —
+        the transfer saving no longer covers the re-rank."""
+        if not self._proj_auto or self.proj_dim or \
+                self.precision != dist.F32 or self.dim < 64:
+            return
+        if self._cap > self.chunk_rows:
+            self.proj_dim = 32
+            import logging
+            logging.getLogger(__name__).info(
+                "host arena %dd x %d rows: auto-enabling projected "
+                "mirror (p=32, rerank=%d) — full-dim sweep is "
+                "transport-bound at this size; set proj_dim=0 to force "
+                "full-dim", self.dim, int(self._valid.sum()),
+                self.proj_rerank)
 
     def _chunk_live(self, base: int, C: int,
                     allow: Optional[np.ndarray]) -> Optional[np.ndarray]:

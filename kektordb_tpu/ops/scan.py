@@ -107,10 +107,16 @@ def _make_kernel(BT: int, ST: int, int8: bool, hi_prec: bool,
             # exactly), so the corpus's quantization is the ONLY remaining
             # error — removes the query-quantization half of the symmetric
             # path's recall loss while the arena still reads at 1 B/elem.
+            # Default = one bf16 pass (the f32 query truncates to bf16);
+            # exact mode sets hi_prec so the query keeps full precision
+            # and 'exact' means exact-in-f32, matching the _scan_xla
+            # fallback's HIGHEST for the same case.
             dots = jax.lax.dot_general(
                 q_ref[:], v_ref[:].astype(q_ref.dtype),
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST if hi_prec
+                else jax.lax.Precision.DEFAULT)
         elif int8:
             dots = jax.lax.dot_general(
                 q_ref[:], v_ref[:], (((1,), (1,)), ((), ())),
@@ -140,14 +146,25 @@ def _make_kernel(BT: int, ST: int, int8: bool, hi_prec: bool,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
-def _pass_a(q, vectors, biasA, biasB, *, interpret=False, fast=False):
+def _hi_prec_for(v_dtype, q_dtype, fast: bool, exact: bool) -> bool:
+    """f32 arenas always need the bf16x3 passes (near-tie ordering);
+    asym int8 needs them only in exact mode (the rerank fixes approx)."""
+    if fast:
+        return False
+    if v_dtype == jnp.float32:
+        return True
+    return exact and v_dtype == jnp.int8 and q_dtype != jnp.int8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "fast", "exact"))
+def _pass_a(q, vectors, biasA, biasB, *, interpret=False, fast=False,
+            exact=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, D = q.shape
     N = vectors.shape[0]
-    hi_prec = vectors.dtype == jnp.float32 and not fast
+    hi_prec = _hi_prec_for(vectors.dtype, q.dtype, fast, exact)
     BT, ST = _tiles(B, N, vectors.dtype == jnp.int8, hi_prec,
                     dim=D)
     G = min(g_for(N), ST // 128)     # keep W = ST/G lane-aligned (>=128)
@@ -193,13 +210,13 @@ def _pass_a(q, vectors, biasA, biasB, *, interpret=False, fast=False):
 def _scan_pallas(q, vectors, biasA, biasB, k, exact, interpret=False,
                  fast=False):
     N = vectors.shape[0]
-    hi_prec = vectors.dtype == jnp.float32 and not fast
+    hi_prec = _hi_prec_for(vectors.dtype, q.dtype, fast, exact)
     _, ST = _tiles(q.shape[0], N, vectors.dtype == jnp.int8, hi_prec,
                    dim=vectors.shape[1])
     G = min(g_for(N), ST // 128)     # must match _pass_a's choice
     W = ST // G
     gmin, garg = _pass_a(q, vectors, biasA, biasB, interpret=interpret,
-                         fast=fast)
+                         fast=fast, exact=exact)
     if exact:
         nbd, bp = jax.lax.top_k(-gmin, k)
         bd = -nbd

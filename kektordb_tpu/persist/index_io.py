@@ -48,6 +48,7 @@ def dump_index(idx, name: str, arrays: dict[str, np.ndarray]
             "metric": idx.metric, "precision": idx.precision,
             "dim": idx.dim,
             "proj_dim": idx.proj_dim, "proj_rerank": idx.proj_rerank,
+            "proj_auto": idx._proj_auto,
             "ext_to_row": dict(idx.ids.ext_to_row),
             "free": list(idx.ids.free),
             "rows": len(idx.ids.row_to_ext),
@@ -165,7 +166,8 @@ def load_index(st: dict[str, Any], arrays: dict[str, np.ndarray],
     if kind == "host":
         from ..index.hostarena import HostArenaIndex
         idx = HostArenaIndex(st["dim"], st["metric"], st["precision"],
-                             proj_dim=int(st.get("proj_dim", 0)),
+                             proj_dim="auto" if st.get("proj_auto")
+                             else int(st.get("proj_dim", 0)),
                              proj_rerank=int(st.get("proj_rerank", 128)))
         idx._vectors = np.asarray(arrays[f"{name}/vectors"],
                                   idx._store_dtype)

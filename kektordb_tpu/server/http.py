@@ -126,13 +126,18 @@ def make_app(engine: Engine, *,
             return request["json"]
         try:
             raw = await request.read()
-            if len(raw) > 65536:
-                # large bodies (batched query_vectors: 100k+ JSON floats)
-                # parse in a worker thread — parsing on the event loop
-                # serializes ALL concurrent requests behind one parse,
-                # while in a thread it overlaps other requests' device
-                # waits (which release the GIL). Measured: plain-JSON
-                # batched serving 3.7k -> 8k+ QPS at 16-way concurrency.
+            # Thread the parse only when it is actually expensive: many
+            # JSON VALUES (batched query_vectors: 100k+ floats), not many
+            # bytes — a b64-wire body is one ~700KB string that parses in
+            # ~1 ms, and routing it through asyncio.to_thread cost the
+            # colocated single-client bench 36% (BENCH_r04 http_b64_qps
+            # regression). Comma count is a memchr-speed proxy for value
+            # count; parsing on the event loop serializes ALL concurrent
+            # requests behind one parse, while in a thread it overlaps
+            # other requests' device waits (which release the GIL).
+            # Measured: plain-JSON batched serving 3.7k -> 8k+ QPS at
+            # 16-way concurrency.
+            if len(raw) > 65536 and raw.count(b",") > 4096:
                 return await asyncio.to_thread(json.loads, raw)
             return json.loads(raw)
         except Exception as e:

