@@ -268,6 +268,11 @@ class Engine:
             # per-(key,value) roaring bitmaps, core.go:944 — always "hit")
             "mask_cache": {"entries": len(h.mask_cache),
                            "hits": h.mask_hits, "misses": h.mask_misses},
+            # sharded indexes: per-shard state checksums so replicas of a
+            # multi-process deployment can be compared via /system/stats
+            # (divergence detection; parallel/sharded.state_fingerprint)
+            **({"state_fingerprint": idx.state_fingerprint(settle=False)}
+               if hasattr(idx, "state_fingerprint") else {}),
         }
 
     def configure_index(self, name: str, config: dict[str, Any],

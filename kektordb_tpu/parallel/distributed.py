@@ -138,6 +138,23 @@ def replicate_stacked(stacked: K.GraphState, mesh: Mesh,
     return jax.tree.map(lift, stacked)
 
 
+@jax.jit
+def _fingerprint(stacked):
+    """Per-shard checksum of every leaf of a [S, ...] stacked state:
+    (sum, sum-of-squares) in f32 — deterministic for identical buffers,
+    so replica divergence (missed write, bit rot, desynced journal)
+    shows up as a fingerprint mismatch. Returns [S, n_leaves, 2]."""
+    outs = []
+    for leaf in jax.tree.leaves(stacked):
+        if leaf.ndim == 0:        # true scalar (not per-shard): skip
+            continue
+        x = leaf.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim))
+        outs.append(jnp.stack(
+            [jnp.sum(x, axes), jnp.sum(x * x, axes)], axis=-1))
+    return jnp.stack(outs, axis=1)
+
+
 @functools.lru_cache(maxsize=64)
 def _fanout_program(mesh: Mesh, replica_axis: str, shard_axis: str,
                     *, k: int, metric: str, mode: str, fast: bool,
@@ -279,3 +296,47 @@ class ReplicatedServing:
                         hits.append((ext, float(d[b, j])))
             out.append(hits)
         return out
+
+    # ------------------------------------------------- lifecycle / health
+
+    def search_local(self, queries: np.ndarray, k: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Replica-local serving — NO cross-process collectives. Every
+        replica holds a FULL copy, so local answers ARE the global
+        answers; this is the degraded-mode path when a peer replica dies
+        (an SPMD collective would hang on the dead participant). Callers
+        fall back here on peer failure and return to search() once the
+        cluster re-forms (tests/test_distributed.py lifecycle test)."""
+        return self.sharded.search(queries, k)
+
+    def local_fingerprint(self) -> np.ndarray:
+        """This replica's [S, n_leaves, 2] state checksum (host numpy) —
+        computed from the LOCAL stacked state, before any replication."""
+        self.sharded.settle_for_serving()
+        return np.asarray(
+            jax.device_get(_fingerprint(self.sharded._get_stacked())))
+
+    def verify_replicas(self) -> dict:
+        """Cross-replica divergence check (VERDICT r4 #4): every process
+        contributes its local state fingerprint; one all-gather over the
+        replica axis gives each process the full [R, ...] matrix to
+        compare. Collective — all processes must call it together.
+        Returns {"equal", "replicas", "fingerprint_crc32"} (the crc is
+        THIS replica's digest, loggable/exposable via /system/stats)."""
+        import zlib
+        fp = self.local_fingerprint()
+        flat = np.ascontiguousarray(fp, np.float32).reshape(1, -1)
+        R = self.n_replicas
+        if jax.process_count() == 1:
+            all_fp = np.repeat(flat, R, axis=0)     # replicas share state
+        else:
+            sh = NamedSharding(self.mesh, P(self.replica_axis))
+            g = jax.make_array_from_process_local_data(sh, flat)
+            rep = jax.jit(lambda x: x,
+                          out_shardings=NamedSharding(self.mesh, P()))(g)
+            all_fp = np.asarray(jax.device_get(rep))
+        return {
+            "equal": bool(np.all(all_fp == all_fp[0])),
+            "replicas": R,
+            "fingerprint_crc32": zlib.crc32(flat.tobytes()) & 0xffffffff,
+        }

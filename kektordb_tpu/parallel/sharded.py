@@ -482,6 +482,33 @@ class ShardedHNSW:
             return True
         return self._stacked_key != tuple(s._version for s in self.shards)
 
+    def state_fingerprint(self, settle: bool = True) -> dict:
+        """Per-shard state checksum (crc32 of the [S, n_leaves, 2]
+        sum/sumsq matrix) — exposed through /system/stats so operators of
+        a replicated deployment can compare replicas out-of-band; the
+        in-band collective check is ReplicatedServing.verify_replicas().
+
+        settle=False (the engine's read-locked stats path) never mutates:
+        it fingerprints the cached stacked state, or reports stale when
+        pending writes haven't settled yet."""
+        import zlib
+        from . import distributed as dlib
+        if settle:
+            self.settle_for_serving()
+        elif self.serving_dirty() or self._stacked is None:
+            return {"stale": True}
+        fp = np.asarray(jax.device_get(
+            dlib._fingerprint(self._stacked if not settle
+                              else self._get_stacked())), np.float32)
+        return {
+            "crc32": zlib.crc32(
+                np.ascontiguousarray(fp).tobytes()) & 0xffffffff,
+            "shards": fp.shape[0],
+            "per_shard_crc32": [
+                zlib.crc32(np.ascontiguousarray(fp[s]).tobytes())
+                & 0xffffffff for s in range(fp.shape[0])],
+        }
+
     def run_maintenance_cycle(self) -> str:
         return ";".join(s.run_maintenance_cycle() for s in self.shards)
 

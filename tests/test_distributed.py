@@ -152,5 +152,167 @@ def test_two_process_cpu_cluster(tmp_path):
     assert t0 == t1
 
 
+_LIFECYCLE = textwrap.dedent("""
+    import hashlib
+    import os
+    import sys
+
+    pid, nproc, port, ddir, phase = (int(sys.argv[1]), int(sys.argv[2]),
+                                     sys.argv[3], sys.argv[4], sys.argv[5])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from kektordb_tpu.distboot import init_distributed
+    init_distributed(f"localhost:{port}", num_processes=nproc,
+                     process_id=pid, num_cpu_devices=4)
+    import numpy as np
+    from kektordb_tpu.index import HNSWConfig
+    from kektordb_tpu.ops import distance as dist
+    from kektordb_tpu.parallel import ShardedHNSW
+    from kektordb_tpu.parallel import distributed as dlib
+
+    CFG = dict(m=8, ef_construction=48, chunk=128)
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(600, 16)).astype(np.float32)
+    Q = X[:24] + 0.01 * rng.normal(size=(24, 16)).astype(np.float32)
+
+    def build(ids, vecs):
+        mesh2d = dlib.replica_mesh()
+        sh = ShardedHNSW(16, dist.L2, config=HNSWConfig(**CFG),
+                         mesh=dlib.local_shard_mesh(mesh2d))
+        sh.add_batch(ids, vecs)
+        return sh, mesh2d
+
+    def ans_hash(obj, q, k=3):
+        d, g = obj.search(q, k)
+        return hashlib.md5(np.sort(np.asarray(g, np.int64), 1)
+                           .tobytes()).hexdigest()[:12]
+
+    ck = os.path.join(ddir, "ckpt.npz")
+    jtail = os.path.join(ddir, "journal_tail.npz")
+
+    if phase == "A":
+        sh, mesh2d = build([f"v{i}" for i in range(600)], X)
+        rep = dlib.ReplicatedServing(sh, mesh2d)
+        vr = rep.verify_replicas()
+        print(f"FPA={vr['equal']}", flush=True)
+        print(f"ANSA={ans_hash(rep, Q)}", flush=True)
+        if pid == 1:
+            os._exit(7)                       # replica death, no cleanup
+        # survivor: degraded-mode local serving must answer identically
+        d_l, g_l = rep.search_local(Q, 3)
+        print(f"LOCA={ans_hash(rep.sharded, Q)}", flush=True)
+        # checkpoint NOW, then keep writing (the journal tail the dead
+        # replica must catch up on)
+        np.savez(ck, ids=np.arange(600), X=X)
+        rng2 = np.random.default_rng(13)
+        X2 = rng2.normal(size=(30, 16)).astype(np.float32)
+        sh.add_batch([f"w{i}" for i in range(30)], X2)
+        np.savez(jtail, X2=X2)
+        hits = sh.search_ids(X2[:1], 1)
+        assert hits[0][0][0] == "w0", hits
+        print("DONEA", flush=True)
+        sys.stdout.flush()
+        os._exit(0)   # skip jax.distributed atexit (peer is dead)
+
+    elif phase == "B":
+        # rejoin: checkpoint restore + journal catch-up (the orchestrator
+        # copied the survivor's ckpt+tail into the dead replica's dir),
+        # then re-form the mesh and verify parity + state hash
+        snap = np.load(ck)
+        tail = np.load(jtail)
+        sh, mesh2d = build([f"v{i}" for i in range(600)], snap["X"])
+        sh.add_batch([f"w{i}" for i in range(30)], tail["X2"])
+        rep = dlib.ReplicatedServing(sh, mesh2d)
+        vr = rep.verify_replicas()
+        print(f"FPB={vr['equal']}", flush=True)
+        print(f"ANSB={ans_hash(rep, Q)}", flush=True)
+        hits = rep.search_ids(tail["X2"][:1], 1)
+        assert hits[0][0][0] == "w0", hits   # caught-up write is served
+        print("DONEB", flush=True)
+""")
+
+
+def _spawn_cluster(script_path, nproc, port, extra_args, env):
+    return [subprocess.Popen(
+        [sys.executable, str(script_path), str(pid), str(nproc), port]
+        + extra_args(pid),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(nproc)]
+
+
+def _free_port() -> str:
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
+
+
+@pytest.mark.slow
+def test_replica_lifecycle_kill_rejoin(tmp_path):
+    """VERDICT r4 #4: kill a replica mid-serve, restart it, restore from
+    checkpoint + journal catch-up, re-form the mesh, and assert the
+    rejoined replica answers identically (cross-replica state hash +
+    answer parity). Also pins the degraded-mode behavior: the survivor
+    keeps serving locally with identical answers while the peer is dead."""
+    wf = tmp_path / "lifecycle.py"
+    wf.write_text(_LIFECYCLE)
+    d0, d1 = tmp_path / "r0", tmp_path / "r1"
+    d0.mkdir(); d1.mkdir()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+
+    # ---- phase A: serve, kill replica 1, survivor degrades + journals
+    procs = _spawn_cluster(
+        wf, 2, _free_port(),
+        lambda pid: [str(d0 if pid == 0 else d1), "A"], env)
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("phase A deadlocked:\n" + "\n".join(outs))
+    assert procs[1].returncode == 7, outs[1][-2000:]   # replica 1 died
+    assert procs[0].returncode == 0, outs[0][-3000:]   # survivor finished
+    a0 = dict(line.split("=", 1) for line in outs[0].splitlines()
+              if "=" in line)
+    assert a0["FPA"] == "True"
+    assert a0["LOCA"] == a0["ANSA"]     # degraded-mode answers identical
+    assert "DONEA" in outs[0]
+
+    # ---- catch-up transport: survivor's checkpoint + journal tail
+    import shutil
+    shutil.copy(d0 / "ckpt.npz", d1 / "ckpt.npz")
+    shutil.copy(d0 / "journal_tail.npz", d1 / "journal_tail.npz")
+
+    # ---- phase B: re-form the cluster, rejoined replica must match
+    procs = _spawn_cluster(
+        wf, 2, _free_port(),
+        lambda pid: [str(d0 if pid == 0 else d1), "B"], env)
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("phase B deadlocked:\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        assert "DONEB" in out
+    b0 = dict(line.split("=", 1) for line in outs[0].splitlines()
+              if "=" in line)
+    b1 = dict(line.split("=", 1) for line in outs[1].splitlines()
+              if "=" in line)
+    assert b0["FPB"] == "True" and b1["FPB"] == "True"   # hashes equal
+    assert b0["ANSB"] == b1["ANSB"]                      # answers equal
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
