@@ -266,6 +266,7 @@ def _same(a: float, b: float) -> bool:
 # system fields that feed DecayColumns (updated even on partial patches)
 _DECAY_KEYS = ("_created_at", "_last_accessed", "_access_count",
                "_pinned", "_memory_layer")
+_DECAY_KEYS_SET = frozenset(_DECAY_KEYS)
 
 
 class MetadataStore:
@@ -333,30 +334,58 @@ class MetadataStore:
         self.version += 1
         by_kv: dict[tuple[str, str], list[int]] = {}
         num_by_k: dict[str, tuple[list[int], list[float]]] = {}
+        # locals + inlined type dispatch: this loop touches every value of
+        # a bulk ingest (2M+ values at the 1M-row bench) — per-value
+        # helper calls (_stable_str/_as_number/_text_fields_of) and a
+        # genexpr decay-key scan cost ~6s of the ~13s total (profiled)
+        direct = self.direct
+        text_add = self.text.add
+        decay_keys = _DECAY_KEYS_SET
         for row, meta in zip(rows, metas):
             if not meta:
                 continue
-            if row in self.direct:
+            if row in direct:
                 self.remove(row)
-            self.direct[row] = dict(meta)
-            text_fields = self._text_fields_of(meta)
+            direct[row] = dict(meta)
+            tf = meta.get(INDEXED_FIELDS_KEY) or ()
+            text_fields = (tf,) if isinstance(tf, str) else tf
             for k, v in meta.items():
                 if k == INDEXED_FIELDS_KEY:
                     continue
-                sval = v if isinstance(v, str) else _stable_str(v)
-                by_kv.setdefault((k, sval), []).append(row)
-                num = _as_number(v)
+                tv = type(v)
+                if tv is str:
+                    by_kv.setdefault((k, v), []).append(row)
+                    try:
+                        num = float(v)
+                    except ValueError:
+                        num = None
+                    if k in text_fields:
+                        text_add(row, k, v)
+                elif tv is bool:
+                    by_kv.setdefault(
+                        (k, "true" if v else "false"), []).append(row)
+                    num = None
+                elif tv is int:
+                    by_kv.setdefault((k, str(v)), []).append(row)
+                    num = float(v)
+                elif tv is float:
+                    by_kv.setdefault(
+                        (k, str(int(v)) if v.is_integer() else str(v)),
+                        []).append(row)
+                    num = v
+                else:
+                    by_kv.setdefault((k, _stable_str(v)), []).append(row)
+                    num = _as_number(v)
+                    if isinstance(v, str) and k in text_fields:
+                        text_add(row, k, v)       # str subclass
                 if num is not None:
                     e = num_by_k.setdefault(k, ([], []))
                     e[0].append(row)
                     e[1].append(num)
-                if k in text_fields and isinstance(v, str):
-                    self.text.add(row, k, v)
             # rows without memory fields skip the decay parse entirely
             # (fresh rows start default; overwritten rows were cleared by
-            # the remove() above) — at 1M-row bulk ingest the per-row
-            # parse chain was measurable seconds
-            if any(k in meta for k in _DECAY_KEYS):
+            # the remove() above)
+            if not decay_keys.isdisjoint(meta):
                 self.decay.set_row(row, meta)
         for (k, sval), rws in by_kv.items():
             self.inverted.setdefault(k, {}).setdefault(
