@@ -61,7 +61,9 @@ class HNSWConfig:
     # graph beam search — the gather-bound path, for low-latency SMALL
     # batches where a full scan wastes HBM bandwidth (beam still needs the
     # arena RESIDENT in HBM; the beyond-HBM axis is kind="host", the
-    # chunk-streamed host arena in index/hostarena.py).
+    # chunk-streamed host arena in index/hostarena.py). Operating
+    # envelope with measured numbers: DOCUMENTATION.md "When to use beam
+    # serving".
     serve_mode: str = "auto"
     # serve_mode=auto backpressure: when the staged-but-unlinked backlog
     # exceeds this, add() drains one link chunk inline so sustained writes
