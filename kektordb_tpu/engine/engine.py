@@ -342,6 +342,7 @@ class Engine:
                     h.index._proj_basis = None
                     h.index._proj_vecs = None
                     h.index._proj_norms = np.zeros((0,), np.float32)
+                    h.index._proj_quant = None
                 if "serve_proj_rerank" in config:
                     h.index.proj_rerank = max(
                         1, int(config["serve_proj_rerank"]))

@@ -106,8 +106,9 @@ class HostArenaIndex:
             self.proj_dim = int(proj_dim)
         self.proj_rerank = proj_rerank
         self._proj_basis: Optional[np.ndarray] = None    # [D, p] f32
-        self._proj_vecs = None                           # [cap, p] bf16
-        self._proj_norms = np.zeros((0,), np.float32)
+        self._proj_vecs = None                           # [cap, p] int8
+        self._proj_norms = np.zeros((0,), np.float32)    # |codes| per row
+        self._proj_quant = None                          # proj-space scale
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -194,8 +195,14 @@ class HostArenaIndex:
     def _project_rows(self, rows: np.ndarray) -> None:
         """Keep the host-side projected mirror in sync (incremental —
         new rows are projected with the standing basis; the basis is
-        fit once from the first sample, centered)."""
-        import ml_dtypes
+        fit once from the first sample, centered).
+
+        The mirror is stored INT8 (asym scan scoring: f32 projected query
+        × int8 codes): the host arena is H2D-transport-bound, so at equal
+        bytes 32 int8 coords rank strictly better than 16 bf16 coords —
+        the quantization noise is bounded by one code step while halving
+        the dimensions loses ~1/3 of the PCA energy. The exact full-dim
+        host re-rank absorbs what little ordering noise remains."""
         p = self.proj_dim
         if not (0 < p < self.dim) or self.precision != dist.F32:
             return                          # projection not applicable
@@ -205,14 +212,17 @@ class HostArenaIndex:
                 return                      # fit later, on first search
             sample = self._vectors[live[:65536]].astype(np.float32)
             self._proj_basis = quant.fit_pca_basis(sample, p)
-            self._proj_vecs = np.zeros((self._cap, p), ml_dtypes.bfloat16)
+            self._proj_quant = quant.train(
+                (sample @ self._proj_basis).reshape(-1, p))
+            self._proj_vecs = np.zeros((self._cap, p), np.int8)
             self._proj_norms = np.zeros(self._cap, np.float32)
             rows = live                     # project everything staged
         for i in range(0, rows.size, 1 << 20):   # bound the f32 cast
             rr = rows[i:i + (1 << 20)]
             pa = self._vectors[rr].astype(np.float32) @ self._proj_basis
-            self._proj_vecs[rr] = pa.astype(ml_dtypes.bfloat16)
-            self._proj_norms[rr] = np.einsum("nd,nd->n", pa, pa)
+            codes, nrm = quant.quantize(self._proj_quant, jnp.asarray(pa))
+            self._proj_vecs[rr] = np.asarray(codes)
+            self._proj_norms[rr] = np.asarray(nrm)
 
     def delete(self, ext_id: str) -> bool:
         if ext_id not in self.ids:
@@ -395,6 +405,14 @@ class HostArenaIndex:
         best_d = jnp.full((Bp, Cc), jnp.inf, jnp.float32)
         best_r = jnp.full((Bp, Cc), -1, jnp.int32)
         since_sync = 0
+        # int8 mirror scores ASYMMETRICALLY (f32 projected query × int8
+        # codes); quantum folds the L2 bias into the dequantized domain
+        # (cosine is scale-invariant). fast=True: rank-only pass — the
+        # exact re-rank below is full-dim on host, so the scan-internal
+        # candidate re-rank would be wasted gathers.
+        quantum = None
+        if self.metric == dist.L2 and self._proj_quant is not None:
+            quantum = jnp.float32(self._proj_quant.abs_max / 127.0)
         # double-buffered like _search_fulldim: issue chunk i+1's copies
         # before dispatching chunk i's scan
         bases = [b for b in range(0, self._cap, Cn)
@@ -408,7 +426,8 @@ class HostArenaIndex:
             d, r = scanops.scan_search(
                 pv_d, pn_d, lev_d,
                 jnp.zeros((Cn,), bool), None, qp_dev, zeros_qn,
-                Cc, metric=self.metric, mode="approx")
+                Cc, metric=self.metric, mode="approx", fast=True,
+                quantum=quantum)
             r = jnp.where(r >= 0, r + base, r)
             best_d, best_r = _merge_topk(best_d, best_r, d,
                                          r.astype(jnp.int32))
