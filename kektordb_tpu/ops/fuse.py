@@ -33,8 +33,13 @@ _PAD_ROW = np.iinfo(np.int32).max
 
 class DecayDevice(NamedTuple):
     """Device-resident per-row decay spec (the columnar mirror of
-    search_utils.go:91-141 semantics, layer config pre-resolved on host so
-    the kernel is three gathers + one select).
+    search_utils.go:91-141 semantics, layer config pre-resolved on host).
+
+    The three channels (ref timestamp, 1/half_life, model id) are PACKED
+    into one [cap, 4] f32 array: the kernel reads the spec for [B, F+T]
+    candidate rows, and TPU gathers are row-rate-bound — one 4-wide
+    gather costs ~a third of three 1-wide gathers (measured: the decay
+    serving windows were gather-dominated at B=4096).
 
     Timestamps are stored RELATIVE to `epoch` so f32 keeps ~ms precision:
     absolute unix seconds (~1.8e9) only carry ~2-minute f32 resolution,
@@ -43,9 +48,8 @@ class DecayDevice(NamedTuple):
     mutation via DecayColumns.version).
     """
     epoch: float
-    ref: jax.Array      # [cap] f32 seconds rel. epoch (0 where inactive)
-    invhl: jax.Array    # [cap] f32 1/half_life (1/S for ebbinghaus); 0 = none
-    model: jax.Array    # [cap] int8 (0 exp, 1 linear, 2 step, 3 ebbinghaus)
+    packed: jax.Array   # [cap, 4] f32: ref_rel | invhl | model | pad
+    #                     (ref_rel 0 + invhl 0 where inactive)
 
 
 def build_decay_device(cols, cfg, cap: int) -> DecayDevice:
@@ -90,11 +94,11 @@ def build_decay_device(cols, cfg, cap: int) -> DecayDevice:
                  hl)
     invhl = np.where(active & (s > 0), 1.0 / np.where(s > 0, s, 1.0), 0.0)
     ref_rel = np.where(active, ref64 - epoch, 0.0)
-    return DecayDevice(
-        epoch=epoch,
-        ref=jnp.asarray(ref_rel.astype(np.float32)),
-        invhl=jnp.asarray(invhl.astype(np.float32)),
-        model=jnp.asarray(model))
+    packed = np.zeros((cap, 4), np.float32)
+    packed[:, 0] = ref_rel
+    packed[:, 1] = invhl
+    packed[:, 2] = model
+    return DecayDevice(epoch=epoch, packed=jnp.asarray(packed))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -142,15 +146,15 @@ def _fuse_topk(d, rows, tr, tsn, alpha, scale, k, decay=None, now_rel=None):
     R_all = jnp.concatenate(
         [rows, jnp.broadcast_to(tr, (B, T))], axis=1)
     if decay is not None:
-        ref, invhl, model = decay
-        cap = ref.shape[0]
+        cap = decay.shape[0]
         safe = jnp.clip(R_all, 0, cap - 1)   # pads masked -inf already
-        x = jnp.maximum(now_rel - ref[safe], 0.0) * invhl[safe]
-        m = model[safe]
+        spec = decay[safe]                   # ONE row-gather: [B, C, 4]
+        x = jnp.maximum(now_rel - spec[..., 0], 0.0) * spec[..., 1]
+        m = spec[..., 2]
         # 0.5**(age/hl) = exp2(-x); inactive rows have invhl=0 → x=0 →
         # factor 1 under every model
         factor = jnp.select(
-            [m == 1, m == 2, m == 3],
+            [m == 1.0, m == 2.0, m == 3.0],
             [jnp.maximum(0.0, 1.0 - 0.5 * x),
              jnp.where(x < 1.0, 1.0, 0.5),
              jnp.exp(-x)],
@@ -206,7 +210,7 @@ def fused_topk(d_dev, rows_dev, text_rows: np.ndarray,
     tr, tsn = prepare_text(text_rows, text_vals, cap_t)
     dec = now_rel = None
     if decay_dev is not None:
-        dec = (decay_dev.ref, decay_dev.invhl, decay_dev.model)
+        dec = decay_dev.packed
         now_rel = jnp.float32((now if now is not None else time.time())
                               - decay_dev.epoch)
     sc, rw, dd = _fuse_topk(d_dev, rows_dev.astype(jnp.int32),
