@@ -583,6 +583,71 @@ class ShardedHNSW:
                         -1).astype(np.int32)
         return d, gids
 
+    def search_device(self, queries: np.ndarray, k: int, *,
+                      allow_rows: Optional[np.ndarray] = None):
+        """Device-resident (d [B,k] f32, GLOBAL rows [B,k] i32, scale) —
+        the sharded analog of HNSWIndex.search_device, so the engine can
+        chain the fused hybrid/decay epilogue (ops/fuse.py) onto the SPMD
+        merge output with zero extra round trips. Returns None when this
+        index can't serve in one dispatch (beam mode, empty, or a batch
+        beyond the pass-B intermediate budget) — the engine then falls
+        back to the host fusion path via search()."""
+        if self.config.serve_mode == "beam":
+            return None
+        self._stage_pending()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        B = queries.shape[0]
+        if len(self.ids) == 0:
+            return None
+        q, qn = self.shards[0]._encode_query(queries, True)
+        stacked = self._get_stacked()
+        allow_j = None
+        rev = None
+        if allow_rows is not None:
+            if isinstance(allow_rows, jax.Array) \
+                    and allow_rows.dtype == jnp.bool_:
+                allow_j = allow_rows
+            else:
+                allow_j = self._allow_global(allow_rows)
+            rev = self._get_rev_dev()
+        min_b = 32 if stacked.vectors.dtype == jnp.int8 else 16
+        cap0 = self.shards[0]._cap
+        row_bytes = (cap0 // scanlib.g_for(cap0)) * 8
+        b_max = max(min_b, HNSWIndex.SCAN_INTERMEDIATE_BYTES
+                    // max(row_bytes, 1))
+        bp2 = min_b
+        while bp2 * 2 <= b_max:
+            bp2 *= 2
+        Bp = min_b
+        while Bp < B:
+            Bp *= 2
+        if Bp > bp2:
+            return None         # needs batch chunking: host path handles
+        if Bp != B:
+            q = jnp.concatenate(
+                [q, jnp.zeros((Bp - B, q.shape[1]), q.dtype)])
+            qn = jnp.concatenate([qn, jnp.zeros((Bp - B,), jnp.float32)])
+        pj = None if self.config.scan_exact else self._get_proj()
+        if pj is not None:
+            C = min(max(self.config.serve_proj_rerank, 2 * k),
+                    cap0 // scanlib.g_for(cap0))
+            d, sh, rows = _sharded_proj_scan(
+                self.mesh, self.axis, stacked, pj[0], pj[1],
+                self._proj_basis, rev, allow_j, q, qn,
+                k=k, C=C, metric=self.metric,
+                has_allow=allow_j is not None,
+                quantum=self._shared_quantum())
+        else:
+            d, sh, rows = _sharded_scan(
+                self.mesh, self.axis, stacked, rev, allow_j, q, qn,
+                k=k, metric=self.metric,
+                mode="exact" if self.config.scan_exact else "approx",
+                has_allow=allow_j is not None,
+                fast=self.config.scan_precision == "fast",
+                quantum=self._shared_quantum())
+        gid = _gid_device(self._get_rev_dev(), sh, rows)
+        return d[:B], gid[:B], 1.0
+
     def _shared_quantum(self) -> Optional[float]:
         """abs_max/127 of the cross-shard shared quantizer as a host float
         (baked into the SPMD program as a constant — retrain is rare), or
@@ -825,6 +890,16 @@ def _sharded_proj_scan(mesh: Mesh, axis: str, stacked: K.GraphState,
         rev = jnp.zeros((S, 1), jnp.int32)
         allow = jnp.zeros((1,), bool)
     return fn(stacked, proj_stk, pn_stk, basis, rev, allow, q, qn)
+
+
+@jax.jit
+def _gid_device(rev, sh, rows):
+    """(shard, local row) → global id on device ([S, cap] sharded rev;
+    XLA inserts the cross-shard gather). -1 pads pass through."""
+    ok = (rows >= 0) & (rows < rev.shape[1])
+    return jnp.where(
+        ok, rev[jnp.where(ok, sh, 0), jnp.where(ok, rows, 0)],
+        -1).astype(jnp.int32)
 
 
 def _sharded_scan(mesh: Mesh, axis: str, stacked: K.GraphState,

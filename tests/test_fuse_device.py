@@ -257,3 +257,65 @@ class TestDeviceDecayParity:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestShardedDeviceFusion:
+    """ShardedHNSW.search_device: the engine chains the fused epilogue
+    onto the SPMD merge output — multi-chip hybrid/decay serving in one
+    dispatch, parity with the host fusion path."""
+
+    def _build(self, n=400, d=16):
+        e = mk()
+        e.create_index("s", m=8, shards=4)
+        rng = np.random.default_rng(9)
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        metas = [{"body": f"alpha tok{i % 7} beta tok{i % 13}",
+                  "_indexed_fields": ["body"], "grp": i % 4}
+                 for i in range(n)]
+        e.add_batch("s", [f"v{i}" for i in range(n)], X, metas)
+        return e, X, rng
+
+    def test_sharded_hybrid_matches_host(self):
+        e, X, rng = self._build()
+        q = rng.normal(size=(5, 16)).astype(np.float32)
+        kw = dict(k=8, text_query="tok3 alpha", alpha=0.6, decay=False)
+        assert e.indexes["s"].index.search_device(q, 8) is not None
+        got = e.search("s", q, **kw)
+        _force_host(e, "s")
+        want = e.search("s", q, **kw)
+        for g, w in zip(got, want):
+            assert np.allclose(sorted(_ids_scores(g)[1]),
+                               sorted(_ids_scores(w)[1]), atol=1e-4)
+            assert g[0]["id"] == w[0]["id"]
+
+    def test_sharded_hybrid_filtered(self):
+        e, X, rng = self._build()
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        kw = dict(k=6, text_query="tok5", alpha=0.4, filter="grp = 2",
+                  decay=False)
+        got = e.search("s", q, **kw)
+        assert got[0] and all(int(h["id"][1:]) % 4 == 2 for h in got[0])
+        _force_host(e, "s")
+        want = e.search("s", q, **kw)
+        for g, w in zip(got, want):
+            assert np.allclose(sorted(_ids_scores(g)[1]),
+                               sorted(_ids_scores(w)[1]), atol=1e-4)
+
+    def test_sharded_decay_matches_host(self):
+        import time as _t
+        from kektordb_tpu.engine import fusion
+        e, X, rng = self._build()
+        now = _t.time()
+        for i in range(0, 400, 3):
+            e.update_metadata("s", f"v{i}",
+                              {"_created_at": now - (i % 50) * 600.0})
+        e.indexes["s"].memory = fusion.MemoryConfig(
+            enabled=True, decay_half_life=3600.0)
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        got = e.search("s", q, k=8, decay=True)
+        _force_host(e, "s")
+        want = e.search("s", q, k=8, decay=True)
+        for g, w in zip(got, want):
+            assert np.allclose(sorted(_ids_scores(g)[1]),
+                               sorted(_ids_scores(w)[1]), atol=2e-3)
+            assert g[0]["id"] == w[0]["id"]
