@@ -95,6 +95,27 @@ def test_tui_end_to_end(tmp_path):
             text = rd.until(r"score=")
             assert "t0" in text          # top hit is the sky sentence
 
+            # Enter on the selected hit jumps to the graph detail view
+            os.write(leader, b"\r")
+            text = rd.until(r"out edges")
+            assert "node t0" in text
+
+            # graph tab: back out of detail, load + navigate the node list
+            os.write(leader, b"b")
+            time.sleep(0.2)
+            os.write(leader, b"r")
+            text = rd.until(r"nodes loaded")
+            assert "tuidx" in text
+
+            # timeline tab: filter cycles render
+            os.write(leader, b"4")
+            text = rd.until(r"filter: all")
+            # curses redraws only the changed cells, so the transcript
+            # shows the diff fragment, not the full header string
+            os.write(leader, b"f")
+            text = rd.until(r"vector\s+\[live\]")
+            assert re.search(r"vector\s+\[live\]", text)
+
             # quit cleanly
             os.write(leader, b"q")
             proc.wait(timeout=10)
