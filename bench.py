@@ -1148,8 +1148,8 @@ REGRESSION_NOTES = {
     "int8_qps":
         "asymmetric int8 scoring (r4) trades one bf16 matmul pass for "
         "+0.014 recall (0.9648->0.9784, within 0.0005 of the int8 code "
-        "ceiling); symmetric operating point remains available via an "
-        "int8-encoded query (NOTES.md, 'int8 operating points')",
+        "ceiling); the symmetric max-QPS operating point is the "
+        "int8_symmetric config knob (NOTES.md, 'int8 operating points')",
 }
 
 

@@ -305,6 +305,11 @@ class Engine:
                     if config["scan_precision"] not in ("high", "fast"):
                         raise ValueError("scan_precision must be high|fast")
                     icfg.scan_precision = config["scan_precision"]
+                if "int8_symmetric" in config:
+                    # int8 operating-point switch: asym (default, +recall)
+                    # vs symmetric (the reference's int-domain scoring,
+                    # max QPS) — NOTES.md "int8 operating points"
+                    icfg.int8_symmetric = bool(config["int8_symmetric"])
                 if "serve_mode" in config:
                     if config["serve_mode"] not in ("auto", "scan", "beam"):
                         raise ValueError(

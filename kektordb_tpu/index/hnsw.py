@@ -74,6 +74,13 @@ class HNSWConfig:
     # near-exact recall; "fast": single bf16 pass, ~2x QPS, near-tie
     # reordering on clustered data (measured recall 0.86-0.98 vs 0.997)
     scan_precision: str = "high"
+    # int8 arenas: False (default) scores ASYMMETRICALLY — float query x
+    # int8 codes, +0.014 recall (0.9784 vs 0.9648 measured at 400kx384)
+    # for one extra matmul pass; True quantizes the query too (the
+    # reference's symmetric int-domain scoring, hnsw_index.go:2396-2443)
+    # — the max-QPS operating point (~237k vs ~174k, NOTES.md "int8
+    # operating points")
+    int8_symmetric: bool = False
     # opt-in PCA-projected pass A (pHNSW-style, arXiv:2602.19242): scan a
     # cached [cap, p] bf16 projection of the arena (p ≪ D → proportionally
     # less HBM traffic in the scan, the serving bottleneck), then re-rank
@@ -288,7 +295,7 @@ class HNSWIndex:
         hnsw_index.go:2396-2443). The beam path keeps the symmetric
         int-domain encode its gather kernels expect."""
         quantized = self.precision == dist.INT8 or self._serve_quantized
-        if quantized and scan:
+        if quantized and scan and not self.config.int8_symmetric:
             v = jnp.asarray(queries, jnp.float32)
             if self.metric == dist.COSINE:
                 v = dist.normalize(v)
@@ -727,11 +734,13 @@ class HNSWIndex:
                                  nav=self._nav_table())
             d_np = np.asarray(d[:B, :k])
             i = np.asarray(i[:B, :k])
-        if self._serve_quantized and self.metric == dist.L2 and not use_scan:
-            # BEAM euclidean distances were computed in the quantized
-            # domain; rescale back. The scan path scores asymmetrically
-            # (quantum folded into the serving bias) so its distances are
-            # already real-domain. Cosine is scale-invariant — no rescale.
+        if self._serve_quantized and self.metric == dist.L2 and (
+                not use_scan or self.config.int8_symmetric):
+            # BEAM (and int8_symmetric SCAN) euclidean distances were
+            # computed in the quantized domain; rescale back. The default
+            # scan path scores asymmetrically (quantum folded into the
+            # serving bias) so its distances are already real-domain.
+            # Cosine is scale-invariant — no rescale.
             quantum = float(self.quantizer.abs_max) / 127.0
             d_np = d_np * (quantum * quantum)
         return d_np, i
@@ -783,9 +792,15 @@ class HNSWIndex:
         q, qn = self._encode_query(queries, True)
         allow = self._allow_to_device(allow_rows)
         d, rows = self._scan_search_device(q, qn, B, k, allow)
-        # scan distances are always real-domain (asym int8 folds the
-        # quantum into the serving bias) — no rescale for the fuser
-        return d, rows, 1.0
+        # asym int8 (the default) folds the quantum into the serving bias
+        # so scan distances are real-domain; the int8_symmetric operating
+        # point scores L2 in the quantized domain — hand the fuser the
+        # rescale instead of paying a device pass for it
+        scale = 1.0
+        if self._serve_quantized and self.metric == dist.L2 \
+                and self.config.int8_symmetric:
+            scale = (float(self.quantizer.abs_max) / 127.0) ** 2
+        return d, rows, scale
 
     def _scan_search(self, q, qn, B: int, k: int, allow
                      ) -> tuple[np.ndarray, np.ndarray]:

@@ -733,6 +733,11 @@ class ShardedHNSW:
                     fast=self.config.scan_precision == "fast",
                     quantum=self._shared_quantum())
             d, sh, rows = d[:B], sh[:B], rows[:B]
+            if self._serve_quantized and self.metric == dist.L2 \
+                    and self.config.int8_symmetric:
+                # symmetric int8 scan scores L2 in the quantized domain
+                quantum = float(self.shards[0].quantizer.abs_max) / 127.0
+                d = np.asarray(d) * (quantum * quantum)
         else:
             ef = max(ef or self.config.ef_search, k)
             dual = any(s._deleted_rows for s in self.shards) \

@@ -104,6 +104,48 @@ class TestAsymmetricScan:
         res = idx.search_device(q, 10)
         assert res is not None and res[2] == 1.0
 
+    def test_int8_symmetric_knob(self):
+        """config.int8_symmetric=True restores the reference's symmetric
+        int-domain scoring (the max-QPS operating point): scan results
+        stay sane on cosine, and an L2 compress_serving('int8') index
+        returns REAL-domain distances under both modes (symmetric scan
+        rescales; search_device hands the fuser the scale)."""
+        n, d = 2048, 48
+        X = clustered(n + 32, d)
+        Xc = X / np.linalg.norm(X, axis=1, keepdims=True)
+        base, q = Xc[:n], Xc[n:]
+        idx = HNSWIndex(d, dist.COSINE, precision=dist.INT8,
+                        config=HNSWConfig(m=8, serve_mode="scan"))
+        idx.add_batch([f"v{i}" for i in range(n)], base, link=False)
+        _, gt_rows = dist.brute_force_topk(
+            jnp.asarray(q), jnp.asarray(base), 10, dist.COSINE)
+        d_a, r_a = idx.search(q, 10)               # asym (default)
+        idx.config.int8_symmetric = True
+        d_s, r_s = idx.search(q, 10)               # symmetric
+        idx.config.int8_symmetric = False
+        rec_a = recall_at(np.asarray(r_a), np.asarray(gt_rows))
+        rec_s = recall_at(np.asarray(r_s), np.asarray(gt_rows))
+        assert rec_s >= 0.85                        # sane, reference-like
+        assert rec_a >= rec_s - 0.02                # asym never worse
+
+        # L2 via compress_serving: symmetric distances rescale to real
+        base2, q2 = X[:n], X[n:]
+        idx2 = HNSWIndex(d, dist.L2,
+                         config=HNSWConfig(m=8, serve_mode="scan"))
+        idx2.add_batch([f"w{i}" for i in range(n)], base2, link=False)
+        idx2.compress_serving("int8")
+        d_a2, _ = idx2.search(q2, 5)
+        idx2.config.int8_symmetric = True
+        d_s2, _ = idx2.search(q2, 5)
+        res = idx2.search_device(q2, 5)
+        assert res is not None and res[2] != 1.0    # fuser gets the scale
+        idx2.config.int8_symmetric = False
+        # same domain: top-1 distances agree to quantization error
+        a, s = np.asarray(d_a2)[:, 0], np.asarray(d_s2)[:, 0]
+        fin = np.isfinite(a) & np.isfinite(s)
+        assert np.allclose(a[fin], s[fin],
+                           rtol=0.25, atol=0.05 * float(a[fin].mean()))
+
     def test_beam_mode_stays_symmetric(self):
         """serve_mode beam on an int8-precision index must still work
         (int-domain gather scoring, rescale-on-search for L2 n/a here)."""
