@@ -4,6 +4,11 @@ Shows the save/recall/entity/evolve/belief loop an agent would drive
 through the MCP tools.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from anywhere
+
 from kektordb_tpu.engine import Engine, EngineConfig
 from kektordb_tpu.server.mcp import MCPService
 

@@ -15,6 +15,11 @@ Run:  python examples/host_arena.py
 (CPU fallback:  JAX_PLATFORMS=cpu python examples/host_arena.py)
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from anywhere
+
 import numpy as np
 
 from kektordb_tpu.engine import Engine, EngineConfig

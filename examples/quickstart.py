@@ -4,6 +4,11 @@ Run: python examples/quickstart.py
 (no server needed; for the HTTP flow see examples/client_quickstart.py)
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from anywhere
+
 import numpy as np
 
 from kektordb_tpu.engine import Engine, EngineConfig

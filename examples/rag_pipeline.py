@@ -3,6 +3,11 @@
 Run: python examples/rag_pipeline.py /path/to/docs
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from anywhere
+
 import sys
 import tempfile
 import os

@@ -12,6 +12,11 @@ Run: python examples/serving_wire.py
 sequential single-query clients at ~881 QPS; the batched columnar wire
 is the rebuild's serving API, DOCUMENTATION.md "Batched search")
 """
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from anywhere
 import asyncio
 import os
 import sys

@@ -9,6 +9,11 @@ Run on real chips, or simulate a mesh on CPU:
       python examples/sharded_serving.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from anywhere
+
 import numpy as np
 import jax
 
