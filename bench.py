@@ -1096,11 +1096,24 @@ def _track_regressions(result: dict) -> None:
         return
     try:
         raw = json.load(open(benches[-1]))
+        tail = raw.get("tail", "")
         prev = None
-        for line in reversed(raw.get("tail", "").splitlines()):
+        for line in reversed(tail.splitlines()):
             if line.startswith("{"):
                 prev = json.loads(line)
                 break
+        if prev is None:
+            # the driver records only the LAST 2000 chars — usually a
+            # mid-line fragment. The emit order puts the headline block
+            # last exactly so it lands here; scrape scalar "key": num
+            # pairs from it. Anchor at '"metric":' so the per-metric
+            # DELTA dict (percent values under the same key names, which
+            # precedes the headline) can't poison the comparison.
+            at = tail.rfind('"metric":')
+            frag = tail[at:] if at >= 0 else ""
+            prev = {k: (float(v) if ("." in v or "e" in v) else int(v))
+                    for k, v in re.findall(
+                        r'"(\w+)":\s*(-?\d+(?:\.\d+)?(?:e-?\d+)?)', frag)}
     except Exception as exc:                      # noqa: BLE001
         result["deltas_error"] = repr(exc)[:120]
         return
