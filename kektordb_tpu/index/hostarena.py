@@ -390,11 +390,24 @@ class HostArenaIndex:
                           B: int, k: int,
                           allow: Optional[np.ndarray]
                           ) -> tuple[np.ndarray, np.ndarray]:
-        """Projected sweep: stream the [cap, p] bf16 mirror (D*bytes/(2p)
+        """Projected sweep: stream the [cap, p] int8 mirror (D*bytes/p
         times less H2D than the full arena), merge the per-chunk top C on
         device, then re-rank the C winners exactly ON HOST from the f32
         arena (a [B, C, D] numpy gather+einsum)."""
-        Cn = self.chunk_rows
+        # size proj chunks by BYTES, not rows: chunk_rows bounds the
+        # FULL-dim chunk at ~D*itemsize*rows bytes; the mirror's rows are
+        # p bytes, so the same budget covers (D*itemsize/p)x more rows —
+        # at 1Mx128/p=32 the whole sweep is ONE dispatch instead of four,
+        # and each dispatch costs a tunnel/PCIe round trip. Pass-B
+        # intermediates ([B, Cn/G] f32+i32) stay bounded separately.
+        row_full = self.dim * self._vectors.dtype.itemsize
+        row_proj = max(self.proj_dim * self._proj_vecs.dtype.itemsize, 1)
+        Cn = self.chunk_rows * max(1, row_full // row_proj)
+        Bp_ = q_pad.shape[0]
+        inter_bound = (1 << 30) // max(Bp_ * 8, 1)   # rows/G per query
+        Cn = min(Cn, inter_bound * scanops.g_for(Cn))
+        Cn = min(Cn, -(-self._cap // 1024) * 1024)
+        Cn = max(self.chunk_rows, (Cn // 1024) * 1024)
         Cc = max(self.proj_rerank, 2 * k)
         # bound by the chunk scan's reduced pass-B width (G-group argmin)
         Cc = min(Cc, Cn // scanops.g_for(Cn))
