@@ -1110,14 +1110,25 @@ def _track_regressions(result: dict) -> None:
             # DELTA dict (percent values under the same key names, which
             # precedes the headline) can't poison the comparison.
             at = tail.rfind('"metric":')
-            frag = tail[at:] if at >= 0 else ""
+            if at >= 0:
+                frag = tail[at:]
+            else:
+                # pre-r5 records put the headline FIRST, so the 2000-char
+                # tail holds absolute metrics followed by the deltas dict
+                # (same key names as PERCENTAGES) — scrape only up to it.
+                cut = tail.find('"deltas_vs_')
+                frag = tail[: cut if cut >= 0 else len(tail)]
             prev = {k: (float(v) if ("." in v or "e" in v) else int(v))
                     for k, v in re.findall(
                         r'"(\w+)":\s*(-?\d+(?:\.\d+)?(?:e-?\d+)?)', frag)}
     except Exception as exc:                      # noqa: BLE001
         result["deltas_error"] = repr(exc)[:120]
         return
-    if not prev or prev.get("n") != result.get("n"):
+    # a truncated prior tail may have lost its "n"; the driver record is
+    # always the full default config, so missing-n compares rather than
+    # silently skipping (a reduced-N smoke run still refuses: its own n
+    # differs from the scraped prev when prev DOES carry one)
+    if not prev or prev.get("n", result.get("n")) != result.get("n"):
         return
     rnd = re.search(r"r(\d+)", os.path.basename(benches[-1]))
     deltas: dict[str, float] = {}
@@ -1164,6 +1175,11 @@ REGRESSION_NOTES = {
     "host_arena_qps":
         "H2D transport-bound sweep on the shared bench tunnel; see "
         "aniso_host_full_qps note",
+    "aniso_host_proj32_qps":
+        "the projected mirror still streams [cap, 32] over the same "
+        "fluctuating tunnel (0.006-0.055 GB/s across rounds) — its QPS "
+        "scales with link speed like every host-arena row; same code, "
+        "measured 0.006 GB/s on this run vs 0.055 on the prior record",
     "int8_qps":
         "asymmetric int8 scoring (r4) trades one bf16 matmul pass for "
         "+0.014 recall (0.9648->0.9784, within 0.0005 of the int8 code "
