@@ -177,23 +177,29 @@ class TUI:
     def draw(self, scr) -> None:
         scr.erase()
         h, w = scr.getmaxyx()
-        header = "  ".join(
-            f"[{i + 1}:{name}]" if i == self.tab else f" {i + 1}:{name} "
-            for i, name in enumerate(TABS))
-        scr.addnstr(0, 0, f"KektorDB-TPU  {header}", w - 1,
-                    curses.A_REVERSE)
-        hints = {
-            0: "r:refresh /:search q:quit",
-            1: "[/]:index j/k:move Enter:expand b:back r:reload q:quit",
-            2: "[/]:index /:type j/k:move Enter:inspect-in-graph q:quit",
-            3: "f:filter p:pause q:quit",
-            4: "+/-:ef_search m:serve_mode q:quit",
-        }[self.tab]
-        scr.addnstr(h - 1, 0, f" {self.status} | {hints}", w - 1,
-                    curses.A_DIM)
-        body = scr.derwin(h - 2, w, 1, 0)
-        [self._dashboard, self._graph, self._search, self._timeline,
-         self._settings][self.tab](body)
+        try:
+            header = "  ".join(
+                f"[{i + 1}:{name}]" if i == self.tab else f" {i + 1}:{name} "
+                for i, name in enumerate(TABS))
+            scr.addnstr(0, 0, f"KektorDB-TPU  {header}", w - 1,
+                        curses.A_REVERSE)
+            hints = {
+                0: "r:refresh /:search q:quit",
+                1: "[/]:index j/k:move Enter:expand b:back r:reload q:quit",
+                2: "[/]:index /:type j/k:move Enter:inspect-in-graph q:quit",
+                3: "f:filter p:pause q:quit",
+                4: "+/-:ef_search m:serve_mode q:quit",
+            }[self.tab]
+            scr.addnstr(h - 1, 0, f" {self.status} | {hints}", w - 1,
+                        curses.A_DIM)
+            body = scr.derwin(h - 2, w, 1, 0)
+            [self._dashboard, self._graph, self._search, self._timeline,
+             self._settings][self.tab](body)
+        except curses.error:
+            # terminal shrunk below the tab's layout (tabs write some
+            # fixed rows): render the clipped frame instead of letting
+            # addnstr's out-of-bounds error kill the loop
+            pass
         scr.refresh()
 
     def _dashboard(self, win) -> None:

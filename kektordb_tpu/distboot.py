@@ -45,14 +45,15 @@ def init_distributed(coordinator: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
-        return True
-    except RuntimeError as exc:
+        return jax.process_count() > 1
+    except RuntimeError:
         # Benign ONLY when the runtime is already initialized (idempotent
-        # callers: CLI retry, tests). A wrong coordinator address or a
-        # connect timeout must propagate — silently degrading a requested
-        # cluster join to single-process serving hides a split brain.
-        if "already initialized" in str(exc).lower() or \
-                getattr(jax.distributed.global_state, "client", None) \
-                is not None:
+        # callers: CLI retry, tests) — jax 0.9 raises "distributed.
+        # initialize should only be called once" for that case, and
+        # is_initialized() is the authoritative probe. A wrong coordinator
+        # address or a connect timeout must propagate — silently degrading
+        # a requested cluster join to single-process serving hides a
+        # split brain.
+        if jax.distributed.is_initialized():
             return jax.process_count() > 1
         raise

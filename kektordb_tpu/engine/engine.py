@@ -89,8 +89,14 @@ class IndexHandle:
         self.mask_misses = 0
         # device decay mirror: (key, MemoryConfig identity, DecayDevice).
         # Rebuilt when decay columns mutate (DecayColumns.version), the
-        # memory config is replaced, cap grows, or the f32 epoch ages out.
+        # memory config is replaced, cap grows, or the f32 epoch ages out;
+        # refreshed INCREMENTALLY (scatter of DecayColumns.dirty rows)
+        # under reinforce-per-read traffic. decay_lock serializes the
+        # refresh: searches run under the SHARED side of the engine RW
+        # lock, and two concurrent refreshes consuming the same dirty set
+        # could publish a mirror missing the other's rows.
         self.decay_dev: Optional[tuple] = None
+        self.decay_lock = threading.Lock()
 
 
 class Engine:
@@ -760,13 +766,33 @@ class Engine:
         has no live rows to mirror (cap=0)."""
         if cap <= 0:
             return None
-        key = (h.meta.decay.version, cap)
+        cols = h.meta.decay
+        key = (cols.version, cap)
         ent = h.decay_dev
         if ent is not None and ent[0] == key and ent[1] is h.memory \
                 and time.time() - ent[2].epoch < self.DECAY_EPOCH_MAX_AGE:
             return ent[2]
-        dd = fuselib.build_decay_device(h.meta.decay, h.memory, cap)
-        h.decay_dev = (key, h.memory, dd)
+        with h.decay_lock:
+            ent = h.decay_dev            # may have refreshed while waiting
+            if ent is not None and ent[0] == key and ent[1] is h.memory \
+                    and time.time() - ent[2].epoch \
+                    < self.DECAY_EPOCH_MAX_AGE:
+                return ent[2]
+            # incremental: reinforce-on-read (the mcp_memory pattern)
+            # bumps the version per hit — when the stale mirror differs
+            # only in a few dirty rows, scatter them instead of
+            # rebuilding O(cap)
+            if ent is not None and ent[1] is h.memory \
+                    and ent[0][1] == cap \
+                    and time.time() - ent[2].epoch \
+                    < self.DECAY_EPOCH_MAX_AGE \
+                    and 0 < len(cols.dirty) <= max(256, cap // 64):
+                dd = fuselib.update_decay_device(ent[2], cols, h.memory,
+                                                 cols.dirty)
+            else:
+                dd = fuselib.build_decay_device(cols, h.memory, cap)
+            cols.dirty.clear()
+            h.decay_dev = (key, h.memory, dd)
         return dd
 
     def _assemble_fused(self, h, idx, d: np.ndarray, rows_out: np.ndarray,

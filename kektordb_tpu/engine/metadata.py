@@ -185,6 +185,10 @@ class DecayColumns:
         # lookups instead of five numpy scalar reads per row — at 1M-row
         # bulk ingest those scalar reads are seconds
         self.touched: set[int] = set()
+        # rows changed since the engine's device mirror last consumed
+        # them — lets reinforce-per-read traffic update the [cap, 4]
+        # mirror with a tiny scatter instead of an O(cap) rebuild
+        self.dirty: set[int] = set()
 
     def _ensure(self, row: int) -> None:
         if row < self.cap:
@@ -234,12 +238,14 @@ class DecayColumns:
         if row not in self.touched:
             self.touched.add(row)
             self.version += 1
+            self.dirty.add(row)
         elif not (_same(self.created[row], created)
                   and _same(self.accessed[row], accessed)
                   and self.count[row] == count
                   and self.pinned[row] == pinned
                   and self.layer[row] == lid):
             self.version += 1
+            self.dirty.add(row)
         self.created[row] = created
         self.accessed[row] = accessed
         self.count[row] = count
@@ -251,6 +257,7 @@ class DecayColumns:
             return                       # already all-default: no-op
         self.touched.discard(row)
         self.version += 1
+        self.dirty.add(row)
         self.created[row] = np.nan
         self.accessed[row] = np.nan
         self.count[row] = 0.0

@@ -26,6 +26,7 @@ as the reference's RAM-bandwidth scan, with the distance math on the MXU.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Sequence
 
 import jax
@@ -109,6 +110,7 @@ class HostArenaIndex:
         self._proj_vecs = None                           # [cap, p] int8
         self._proj_norms = np.zeros((0,), np.float32)    # |codes| per row
         self._proj_quant = None                          # proj-space scale
+        self._proj_fit_lock = threading.Lock()           # search-path fit
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -207,16 +209,30 @@ class HostArenaIndex:
         if not (0 < p < self.dim) or self.precision != dist.F32:
             return                          # projection not applicable
         if self._proj_basis is None:
+            # First fit can run on the SEARCH path (auto-proj), which the
+            # engine serves under the SHARED side of its RW lock — build
+            # the whole mirror into locals and publish `_proj_basis` LAST,
+            # so a concurrent reader either sees no mirror (full-dim
+            # sweep) or a complete one, never a zeros/partial mirror.
             live = np.nonzero(self._valid)[0]
             if live.size < max(4 * p, 64):
                 return                      # fit later, on first search
             sample = self._vectors[live[:65536]].astype(np.float32)
-            self._proj_basis = quant.fit_pca_basis(sample, p)
-            self._proj_quant = quant.train(
-                (sample @ self._proj_basis).reshape(-1, p))
-            self._proj_vecs = np.zeros((self._cap, p), np.int8)
-            self._proj_norms = np.zeros(self._cap, np.float32)
-            rows = live                     # project everything staged
+            basis = quant.fit_pca_basis(sample, p)
+            pq = quant.train((sample @ basis).reshape(-1, p))
+            vecs = np.zeros((self._cap, p), np.int8)
+            nrms = np.zeros(self._cap, np.float32)
+            for i in range(0, live.size, 1 << 20):
+                rr = live[i:i + (1 << 20)]
+                pa = self._vectors[rr].astype(np.float32) @ basis
+                codes, nrm = quant.quantize(pq, jnp.asarray(pa))
+                vecs[rr] = np.asarray(codes)
+                nrms[rr] = np.asarray(nrm)
+            self._proj_quant = pq
+            self._proj_vecs = vecs
+            self._proj_norms = nrms
+            self._proj_basis = basis        # publish gate, set last
+            return
         for i in range(0, rows.size, 1 << 20):   # bound the f32 cast
             rr = rows[i:i + (1 << 20)]
             pa = self._vectors[rr].astype(np.float32) @ self._proj_basis
@@ -281,7 +297,12 @@ class HostArenaIndex:
 
         self._maybe_auto_proj()
         if self.proj_dim and self._proj_basis is None:
-            self._project_rows(np.empty(0, np.int64))    # fit on demand
+            # fit on demand; searches run concurrently (engine shared
+            # lock), so serialize the fit — losers of the race wait here
+            # then see the published mirror
+            with self._proj_fit_lock:
+                if self._proj_basis is None:
+                    self._project_rows(np.empty(0, np.int64))
         if self._proj_basis is not None and self.precision == dist.F32:
             return self._search_projected(queries, q, B, k, allow)
         return self._search_fulldim(q, qn, B, k, allow)

@@ -52,22 +52,10 @@ class DecayDevice(NamedTuple):
     #                     (ref_rel 0 + invhl 0 where inactive)
 
 
-def build_decay_device(cols, cfg, cap: int) -> DecayDevice:
-    """Reduce DecayColumns + MemoryConfig to the three device arrays.
-    Inactive rows (pinned / no timestamp / half_life<=0 / beyond the
-    column cap) get invhl=0, which yields factor 1.0 under every model.
-    One vectorized host pass + one H2D upload, version-keyed by the
-    engine — amortized across every decayed search until the next decay
-    mutation."""
+def _layer_tables(cols, cfg):
+    """(half_life, model_id) lookup tables indexed by layer id; the last
+    slot holds the index-level defaults (layer -1 / unknown)."""
     from ..engine.fusion import _MODEL_IDS
-
-    epoch = time.time()
-    n = min(cols.cap, cap)
-    ref64 = np.full(cap, np.nan)
-    ref64[:n] = np.where(np.isnan(cols.accessed[:n]),
-                         cols.created[:n], cols.accessed[:n])
-    active = ~np.isnan(ref64)
-    active[:n] &= ~cols.pinned[:n]
 
     n_layers = len(cols.layer_names)
     hl_by_layer = np.full(n_layers + 1, cfg.decay_half_life)
@@ -81,24 +69,76 @@ def build_decay_device(cols, cfg, cap: int) -> DecayDevice:
             hl_by_layer[i] = lc.decay_half_life
         if lc.decay_model:
             model_by_layer[i] = _MODEL_IDS.get(lc.decay_model, 0)
-    lid = np.full(cap, n_layers, np.int64)           # last slot = defaults
-    lid[:n] = np.where(cols.layer[:n] >= 0, cols.layer[:n], n_layers)
+    return hl_by_layer, model_by_layer
+
+
+def _pack_rows(cols, cfg, rows: np.ndarray, epoch: float) -> np.ndarray:
+    """[len(rows), 4] packed spec rows (ref_rel | invhl | model | pad) —
+    the per-row semantics of the mirror for arbitrary row indices.
+    Inactive rows (pinned / no timestamp / half_life<=0 / beyond the
+    column cap) get invhl=0, which yields factor 1.0 under every model."""
+    r = np.asarray(rows, np.int64)
+    if cols.cap == 0:                     # no memory metadata anywhere
+        packed = np.zeros((r.size, 4), np.float32)
+        packed[:, 2] = _layer_tables(cols, cfg)[1][-1]   # default model
+        return packed
+    inb = r < cols.cap
+    safe = np.where(inb, r, 0)
+    ref64 = np.where(inb & np.isnan(cols.accessed[safe]),
+                     cols.created[safe], cols.accessed[safe])
+    ref64 = np.where(inb, ref64, np.nan)
+    active = ~np.isnan(ref64)
+    active &= ~(inb & cols.pinned[safe])
+
+    hl_by_layer, model_by_layer = _layer_tables(cols, cfg)
+    n_layers = len(cols.layer_names)
+    lid = np.where(inb & (cols.layer[safe] >= 0),
+                   cols.layer[safe], n_layers).astype(np.int64)
     hl = hl_by_layer[lid]
     model = model_by_layer[lid]
     active &= hl > 0
 
+    count = np.where(inb, cols.count[safe].astype(np.float64), 0.0)
     s = np.where(model == 3,
-                 hl * (1.0 + np.log1p(np.maximum(
-                     np.pad(cols.count[:n].astype(np.float64),
-                            (0, cap - n)), 0.0))),
+                 hl * (1.0 + np.log1p(np.maximum(count, 0.0))),
                  hl)
     invhl = np.where(active & (s > 0), 1.0 / np.where(s > 0, s, 1.0), 0.0)
     ref_rel = np.where(active, ref64 - epoch, 0.0)
-    packed = np.zeros((cap, 4), np.float32)
+    packed = np.zeros((r.size, 4), np.float32)
     packed[:, 0] = ref_rel
     packed[:, 1] = invhl
     packed[:, 2] = model
+    return packed
+
+
+def build_decay_device(cols, cfg, cap: int) -> DecayDevice:
+    """Reduce DecayColumns + MemoryConfig to the packed device mirror.
+    One vectorized host pass + one H2D upload, version-keyed by the
+    engine — amortized across every decayed search until the next decay
+    mutation (which updates incrementally via update_decay_device)."""
+    epoch = time.time()
+    packed = _pack_rows(cols, cfg, np.arange(cap, dtype=np.int64), epoch)
     return DecayDevice(epoch=epoch, packed=jnp.asarray(packed))
+
+
+def update_decay_device(dd: DecayDevice, cols, cfg,
+                        rows) -> DecayDevice:
+    """Incremental mirror refresh: recompute the spec for `rows` only and
+    scatter into the device array — a tiny H2D + one scatter dispatch
+    instead of an O(cap) host pass + full re-upload. This is what keeps
+    the agent-memory reinforce-on-read pattern cheap: every reinforce
+    dirties exactly one row (metadata.DecayColumns.dirty), not the
+    mirror. New rows use the MIRROR's epoch so ref_rel stays in one
+    time base."""
+    r = np.unique(np.asarray(list(rows), np.int64))
+    cap = dd.packed.shape[0]
+    r = r[(r >= 0) & (r < cap)]
+    if r.size == 0:
+        return dd
+    sub = _pack_rows(cols, cfg, r, dd.epoch)
+    return DecayDevice(
+        epoch=dd.epoch,
+        packed=dd.packed.at[jnp.asarray(r)].set(jnp.asarray(sub)))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

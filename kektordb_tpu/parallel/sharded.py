@@ -116,6 +116,7 @@ class ShardedHNSW:
         # filtered queries translate gid→(shard,row) inside the program.
         self._stacked: Optional[K.GraphState] = None
         self._stacked_key = None
+        self._fp_cache = None            # (stacked_key, fingerprint dict)
         self._rev_dev = None
         self._rev_dirty = True
         # projected-arena stack for serve_proj_dim (see _get_proj):
@@ -495,12 +496,20 @@ class ShardedHNSW:
         from . import distributed as dlib
         if settle:
             self.settle_for_serving()
+            stacked = self._get_stacked()
         elif self.serving_dirty() or self._stacked is None:
             return {"stale": True}
-        fp = np.asarray(jax.device_get(
-            dlib._fingerprint(self._stacked if not settle
-                              else self._get_stacked())), np.float32)
-        return {
+        else:
+            stacked = self._stacked
+        # the stats endpoint polls this (TUI every 5 s, bench scrapes):
+        # cache by the stacked version key so repeat calls don't dispatch
+        # a full-HBM sum/sumsq sweep + blocking fetch against live serving
+        key = self._stacked_key
+        if self._fp_cache is not None and self._fp_cache[0] == key:
+            return self._fp_cache[1]
+        fp = np.asarray(jax.device_get(dlib._fingerprint(stacked)),
+                        np.float32)
+        out = {
             "crc32": zlib.crc32(
                 np.ascontiguousarray(fp).tobytes()) & 0xffffffff,
             "shards": fp.shape[0],
@@ -508,6 +517,8 @@ class ShardedHNSW:
                 zlib.crc32(np.ascontiguousarray(fp[s]).tobytes())
                 & 0xffffffff for s in range(fp.shape[0])],
         }
+        self._fp_cache = (key, out)
+        return out
 
     def run_maintenance_cycle(self) -> str:
         return ";".join(s.run_maintenance_cycle() for s in self.shards)
@@ -646,7 +657,15 @@ class ShardedHNSW:
                 fast=self.config.scan_precision == "fast",
                 quantum=self._shared_quantum())
         gid = _gid_device(self._get_rev_dev(), sh, rows)
-        return d[:B], gid[:B], 1.0
+        # asym int8 (default) folds the quantum into the serving bias so
+        # scan distances are real-domain; the int8_symmetric operating
+        # point scores L2 in the quantized domain — hand the fuser the
+        # quantum^2 rescale (HNSWIndex.search_device parity)
+        scale = 1.0
+        if self._serve_quantized and self.metric == dist.L2 \
+                and self.config.int8_symmetric:
+            scale = (float(self.shards[0].quantizer.abs_max) / 127.0) ** 2
+        return d[:B], gid[:B], scale
 
     def _shared_quantum(self) -> Optional[float]:
         """abs_max/127 of the cross-shard shared quantizer as a host float

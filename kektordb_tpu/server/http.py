@@ -283,7 +283,10 @@ def make_app(engine: Engine, *,
                 language=b.get("text_language", "english"),
                 seed=int(b.get("seed", 42)),
                 kind=b.get("kind", "hnsw"),
-                serve_proj_dim=int(b.get("serve_proj_dim", 0)),
+                # absent != explicit 0: None lets host arenas keep the
+                # auto projected-mirror default; 0 forces full-dim
+                serve_proj_dim=(int(b["serve_proj_dim"])
+                                if "serve_proj_dim" in b else None),
                 serve_proj_rerank=int(b.get("serve_proj_rerank", 128)),
                 shards=int(b.get("shards", 0)),
                 serve_mode=b.get("serve_mode", "auto"))
@@ -1197,9 +1200,14 @@ def engine_compress(engine: Engine, name: str, precision: str) -> dict:
         else "host" if isinstance(idx, HostArenaIndex) else "hnsw"
     shards = idx.n_shards if isinstance(idx, ShardedHNSW) else 0
     serve_mode = getattr(getattr(idx, "config", None), "serve_mode", "auto")
-    # proj knobs live on config for hnsw/sharded, as attributes for host
-    proj_dim = info["config"].get(
-        "serve_proj_dim", getattr(idx, "proj_dim", 0))
+    # proj knobs live on config for hnsw/sharded, as attributes for host;
+    # an auto host mirror must survive migration as auto (None), not be
+    # frozen at whatever it had resolved to (0 before the first trigger)
+    if getattr(idx, "_proj_auto", False):
+        proj_dim = None
+    else:
+        proj_dim = info["config"].get(
+            "serve_proj_dim", getattr(idx, "proj_dim", 0))
     proj_rerank = info["config"].get(
         "serve_proj_rerank", getattr(idx, "proj_rerank", 128))
     engine.drop_index(name)

@@ -253,6 +253,45 @@ class TestDeviceDecayParity:
         second = e.search("t", base, k=2, decay=True)[0]
         assert second[0]["id"] == "tired"   # mirror rebuilt, rank restored
 
+    def test_decay_mirror_updates_incrementally(self, monkeypatch):
+        """Reinforce-per-read must refresh the mirror with a row scatter
+        (update_decay_device), not an O(cap) rebuild — and the scattered
+        mirror must be bit-identical to a from-scratch build at the same
+        epoch."""
+        import time as _t
+        from kektordb_tpu.engine import fusion
+        from kektordb_tpu.ops import fuse as fuselib
+        e = mk()
+        e.create_index("t", m=8)
+        rng = np.random.default_rng(6)
+        now = _t.time()
+        for i in range(48):
+            e.add("t", f"v{i}", rng.normal(size=16).astype(
+                np.float32).tolist(),
+                metadata={"_created_at": now - i * 60.0,
+                          "_access_count": i % 3})
+        h = e.indexes["t"]
+        h.memory = fusion.MemoryConfig(enabled=True,
+                                       decay_half_life=3600.0)
+        q = rng.normal(size=(1, 16)).astype(np.float32)
+        e.search("t", q, k=3, decay=True)           # builds the mirror
+        assert h.decay_dev is not None
+        assert not h.meta.decay.dirty                # consumed
+        builds = []
+        real_build = fuselib.build_decay_device
+        monkeypatch.setattr(fuselib, "build_decay_device",
+                            lambda *a: builds.append(1) or real_build(*a))
+        for i in range(4):
+            e.reinforce("t", f"v{i}")
+        e.search("t", q, k=3, decay=True)            # incremental refresh
+        assert builds == []                          # NO full rebuild
+        dd = h.decay_dev[2]
+        cap = dd.packed.shape[0]
+        fresh = fuselib._pack_rows(h.meta.decay, h.memory,
+                                   np.arange(cap, dtype=np.int64),
+                                   dd.epoch)
+        np.testing.assert_array_equal(np.asarray(dd.packed), fresh)
+
 
 if __name__ == "__main__":
     import sys

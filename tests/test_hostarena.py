@@ -311,3 +311,36 @@ class TestAutoProjection:
         idx2.chunk_rows = 1024        # tuning knob isn't persisted
         idx2.search(X[:2], 3)
         assert idx2.proj_dim == 32
+
+    def test_concurrent_first_fit_publishes_atomically(self):
+        """Auto-proj's first fit runs on the SEARCH path, which the engine
+        serves under the shared RW lock: concurrent searches must never
+        observe a partial mirror (basis set, vecs missing/zeros) — every
+        thread gets correct top-1 and no exceptions."""
+        import threading as _t
+        rng = np.random.default_rng(5)
+        n, d = 4096, 64
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        idx = HostArenaIndex(64, chunk_rows=1024)
+        idx.add_batch([f"v{i}" for i in range(n)], X)
+        assert idx._proj_basis is None          # fit not triggered yet
+        Q = X[:8] + 0.001 * rng.normal(size=(8, d)).astype(np.float32)
+        errs, bad = [], []
+        start = _t.Barrier(6)
+
+        def worker():
+            try:
+                start.wait()
+                for _ in range(3):
+                    _, rows = idx.search(Q, 3)
+                    if not (rows[:, 0] == np.arange(8)).all():
+                        bad.append(rows[:, 0].tolist())
+            except Exception as exc:            # noqa: BLE001
+                errs.append(repr(exc))
+
+        ts = [_t.Thread(target=worker) for _ in range(6)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs, errs
+        assert not bad, bad[:3]
+        assert idx.proj_dim == 32 and idx._proj_basis is not None

@@ -622,3 +622,33 @@ def test_concurrent_mixed_clients_over_http(srv):
         t.join(timeout=120)
     assert not errors, errors[:5]
     assert counts["search"] >= 40 and counts["write"] >= 12, counts
+
+
+def test_host_index_keeps_auto_proj_via_api(srv):
+    """A server-created host index with NO serve_proj_dim field must keep
+    the auto projected-mirror default (absent != explicit 0): the engine
+    receives None, and the built arena reports _proj_auto."""
+    body = {"index_name": "HOSTAUTO", "metric": "euclidean",
+            "precision": "float32", "kind": "host"}
+    assert requests.post(srv.base + "/vector/actions/create",
+                         json=body).status_code == 200
+    import numpy as np
+    v = np.zeros(64, np.float32); v[0] = 1.0
+    assert requests.post(
+        srv.base + "/vector/actions/add",
+        json={"index_name": "HOSTAUTO", "id": "a",
+              "vector": v.tolist()}).status_code == 200
+    h = srv.engine.indexes["HOSTAUTO"]
+    assert getattr(h.index, "_proj_auto", False) is True
+    # explicit 0 still forces full-dim
+    assert requests.post(
+        srv.base + "/vector/actions/create",
+        json={"index_name": "HOSTFULL", "metric": "euclidean",
+              "precision": "float32", "kind": "host",
+              "serve_proj_dim": 0}).status_code == 200
+    assert requests.post(
+        srv.base + "/vector/actions/add",
+        json={"index_name": "HOSTFULL", "id": "a",
+              "vector": v.tolist()}).status_code == 200
+    h2 = srv.engine.indexes["HOSTFULL"]
+    assert getattr(h2.index, "_proj_auto", True) is False

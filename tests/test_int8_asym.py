@@ -146,6 +146,37 @@ class TestAsymmetricScan:
         assert np.allclose(a[fin], s[fin],
                            rtol=0.25, atol=0.05 * float(a[fin].mean()))
 
+    def test_sharded_search_device_symmetric_rescale(self):
+        """ShardedHNSW.search_device must hand the fuser the quantum^2
+        L2 rescale under int8_symmetric, matching both its own search()
+        and HNSWIndex.search_device — otherwise the device-fused
+        hybrid/decay path reports quantized-domain distances (~60x off)."""
+        from kektordb_tpu.parallel import ShardedHNSW
+        from kektordb_tpu.parallel.sharded import make_mesh
+        n, d = 1024, 32
+        X = clustered(n + 16, d)
+        base, q = X[:n], X[n:]
+        sh = ShardedHNSW(d, dist.L2,
+                         config=HNSWConfig(m=8, serve_mode="scan",
+                                           chunk=256),
+                         mesh=make_mesh(8))
+        sh.add_batch([f"v{i}" for i in range(n)], base, link=False)
+        sh.compress_serving("int8")
+        sh.config.int8_symmetric = True
+        try:
+            d_host, _, _ = sh._search_raw(q, 5)        # rescaled on host
+            res = sh.search_device(q, 5)
+            assert res is not None
+            d_dev, _, scale = res
+            assert scale != 1.0                        # fuser gets quantum^2
+            d_dev = np.asarray(d_dev) * scale
+            a, b = np.asarray(d_host)[:, 0], d_dev[:, 0]
+            fin = np.isfinite(a) & np.isfinite(b)
+            assert fin.any()
+            assert np.allclose(a[fin], b[fin], rtol=1e-4, atol=1e-4)
+        finally:
+            sh.config.int8_symmetric = False
+
     def test_beam_mode_stays_symmetric(self):
         """serve_mode beam on an int8-precision index must still work
         (int-domain gather scoring, rescale-on-search for L2 n/a here)."""

@@ -126,3 +126,34 @@ def test_tui_end_to_end(tmp_path):
             os.close(leader)
     finally:
         srv.stop()
+
+
+def test_tui_survives_short_terminal():
+    """Settings tab writes fixed rows (8-10): on a terminal shorter than
+    the layout the draw must clip, not crash the loop (curses.error)."""
+    srv = ServerFixture()
+    try:
+        env = dict(os.environ)
+        env.update({"TERM": "xterm-256color", "LINES": "7", "COLUMNS": "60",
+                    "JAX_PLATFORMS": "cpu", "PYTHONUNBUFFERED": "1"})
+        leader, follower = pty.openpty()
+        proc = subprocess.Popen(
+            ["python", "-m", "kektordb_tpu", "tui", "--url", srv.base],
+            stdin=follower, stdout=follower, stderr=follower,
+            env=env, cwd="/root/repo", close_fds=True)
+        os.close(follower)
+        rd = _PtyReader(leader)
+        try:
+            rd.until(r"KektorDB-TPU")
+            os.write(leader, b"5")      # settings: fixed rows > h-2
+            time.sleep(1.5)
+            assert proc.poll() is None  # loop survived the short frame
+            os.write(leader, b"q")
+            proc.wait(timeout=10)
+            assert proc.returncode == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+            os.close(leader)
+    finally:
+        srv.stop()
