@@ -351,6 +351,20 @@ def main() -> None:
             print(f"[trace] {tag}: {(time.time() - t0) * 1e3:.1f} ms",
                   file=sys.stderr, flush=True)
 
+    # measure the transport itself, always (not just under trace): every
+    # per-window serving metric pays one host->device sync through this
+    # link, and the link swings +/-40% run-to-run (NOTES.md "tunnel
+    # variance datum"). Recording RTT as a metric lets the regression
+    # tracker tell transport weather from code regressions — see
+    # _track_regressions' RTT-conditional note.
+    _f_rtt = jax.jit(lambda x: x + 1)
+    _x_rtt = jnp.zeros((), jnp.float32)
+    jax.device_get(_f_rtt(_x_rtt))              # compile outside the timing
+    _t_rtt = time.time()
+    for _ in range(5):
+        jax.device_get(_f_rtt(_x_rtt))
+    extras["tunnel_rtt_ms"] = round((time.time() - _t_rtt) / 5 * 1e3, 2)
+
     def mark(name: str) -> None:
         # per-section wall time to stderr (stdout stays one JSON line)
         now = time.time()
@@ -1154,16 +1168,59 @@ def _track_regressions(result: dict) -> None:
         noted = {m: REGRESSION_NOTES[m]
                  for m in (r.split(":")[0] for r in regressions)
                  if m in REGRESSION_NOTES}
+        # transport-weather attribution, MEASURED not asserted: when this
+        # run's own tunnel RTT is >15% worse than the prior record's, the
+        # per-window sync cost of every serving metric rises with it —
+        # annotate those regressions with both RTT numbers so the reader
+        # can apportion. Metrics outside the sync-bound set (pipelined
+        # flagship, build times) never get this note; a slow tunnel can't
+        # excuse them.
+        rtt_new = result.get("tunnel_rtt_ms")
+        # records before r5 carry no RTT metric; their documented
+        # operating point was ~30 ms/sync (NOTES.md, measured r2-r4)
+        rtt_old = prev.get("tunnel_rtt_ms", 30.0)
+        if isinstance(rtt_new, (int, float)) \
+                and isinstance(rtt_old, (int, float)) and rtt_old > 0 \
+                and (rtt_new - rtt_old) / rtt_old > 0.15:
+            rtt_note = (f"per-window sync rides the bench tunnel, whose "
+                        f"measured RTT is {rtt_new} ms this run vs "
+                        f"{rtt_old} ms on the prior record "
+                        f"(NOTES.md 'tunnel variance datum')")
+            for r in regressions:
+                m = r.split(":")[0]
+                if m in SYNC_BOUND_METRICS and m not in noted:
+                    noted[m] = rtt_note
         if noted:
             result["regression_notes"] = noted
         for r in regressions:
             print(f"[bench] REGRESSION {r}", file=sys.stderr, flush=True)
 
 
+# serving metrics whose per-window cost includes a blocking host<->device
+# sync (or an HTTP hop on top of one): eligible for the measured-RTT
+# weather note in _track_regressions. Pipelined/compute-bound metrics
+# (value, *_build/_ingest times, recall) are deliberately NOT listed.
+SYNC_BOUND_METRICS = frozenset({
+    "sync_qps", "served_qps", "served_columnar_qps",
+    "filtered_real_filter_qps", "hybrid_qps", "hybrid_filtered_qps",
+    "hybrid_decay_qps", "decay_qps", "graph_restricted_qps",
+    "http_qps", "http_b64_qps", "http_columnar_qps",
+    "http_multiclient_qps", "streaming_insert_per_s",
+    "streaming_linked_per_s", "beam_qps",
+    "glove100d_qps", "glove200d_qps", "glove300d_qps", "cosine_qps",
+    "int8_qps", "scan_exact_qps", "scan_fast_qps",
+    "filtered_1pct_qps", "filtered_50pct_qps",
+})
+
 # act-on-regression discipline (VERDICT r4 #2): a shouted regression must
 # either be fixed or carry a one-line explanation EMITTED IN THE RESULT.
 # Keys are metric names; entries apply only when that metric regresses.
 REGRESSION_NOTES = {
+    "tunnel_rtt_ms":
+        "the bare host<->device round trip of the shared bench tunnel, "
+        "measured each run precisely so transport weather is "
+        "distinguishable from code regressions (swings +/-40% "
+        "run-to-run, NOTES.md 'tunnel variance datum')",
     "aniso_host_full_qps":
         "full-dim host sweep is H2D transport-bound; the bench tunnel "
         "link fluctuates run-to-run (measured 0.006-0.055 GB/s) — the "

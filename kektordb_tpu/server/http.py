@@ -134,9 +134,10 @@ def make_app(engine: Engine, *,
             # regression). Comma count is a memchr-speed proxy for value
             # count; parsing on the event loop serializes ALL concurrent
             # requests behind one parse, while in a thread it overlaps
-            # other requests' device waits (which release the GIL).
-            # Measured: plain-JSON batched serving 3.7k -> 8k+ QPS at
-            # 16-way concurrency.
+            # other requests' device waits (which release the GIL). The
+            # win only materializes with >1 host core; the measured
+            # multi-process capacity number is http_multiclient_qps
+            # (NOTES.md "16-way concurrency claim RETRACTED").
             if len(raw) > 65536 and raw.count(b",") > 4096:
                 return await asyncio.to_thread(json.loads, raw)
             return json.loads(raw)
