@@ -596,7 +596,14 @@ def make_app(engine: Engine, *,
             if row is None:
                 continue
             meta = h.meta.get(row) or {}
-            item = {"id": vid, "metadata": meta}
+            # wire parity with the reference's VectorData (core.go:60-64):
+            # every item carries id + vector + metadata — migration and
+            # context-assembly clients rely on the vector being present
+            vec = h.index.get_vector(vid) \
+                if hasattr(h.index, "get_vector") else None
+            item = {"id": vid,
+                    "vector": vec.tolist() if vec is not None else None,
+                    "metadata": meta}
             if b.get("compress_context"):
                 from ..text.compressor import compress
                 item["metadata"] = {
@@ -717,9 +724,14 @@ def make_app(engine: Engine, *,
         b = await body_of(request)
         node = b.get("node_id")
         if node:
+            # wire parity with VGetRelations (http_handlers.go:1338-1360):
+            # relations is a {relation_type: [targets]} map, not a name
+            # list — migration and context-assembly clients walk it
             edges = engine.get_edges(b["index_name"], node)
-            return _json({"relations": sorted({e["relation"]
-                                               for e in edges})})
+            rel: dict[str, list] = {}
+            for e in edges:
+                rel.setdefault(e["relation"], []).append(e["target"])
+            return _json({"node_id": node, "relations": rel})
         return _json({"relations": engine.graph.relations()})
 
     async def graph_all_incoming(request):
